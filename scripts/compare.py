@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 scripts/compare.py <verifyOutDir> <sfDir>
+
+Loads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB against the parquet tables in
+<sfDir>, and compares (columns sorted by name, rows sorted) for exact match.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            failures += 1
+            continue
+        try:
+            want = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        if got.shape != want.shape:
+            print(f"FAIL {name}: shape {got.shape} vs oracle {want.shape}")
+            failures += 1
+            continue
+        # align dtypes (spark int32 vs duckdb int64 etc.)
+        try:
+            want = want.astype({c: got[c].dtype for c in got.columns})
+        except Exception:
+            pass
+        eq = got.reset_index(drop=True).equals(want.reset_index(drop=True))
+        if not eq:
+            diff = (got != want)
+            cells = int(diff.to_numpy().sum()) if got.shape == want.shape else -1
+            print(f"FAIL {name}: {cells} differing cells")
+            for col in got.columns:
+                if not got[col].equals(want[col]):
+                    m = diff[col]
+                    print(f"  col {col}: spark={got[col][m].head(3).tolist()} "
+                          f"oracle={want[col][m].head(3).tolist()}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows")
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'} "
+          f"({len(oracles)} queries)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

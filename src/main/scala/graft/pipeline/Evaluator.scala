@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed weighted best-match F-score between two cluster-assignment
+  * tables — the Spark restatement of the reference's `fvalue_evaluator`
+  * MR path (`/root/reference/src/fvalue_evaluator.cpp:98-198`):
+  * member equi-join (`:367-386`,`:422-455`) → intersection counts
+  * (`:150-164`) → per-cluster best F1, size-weighted (`:457-511`,`:938-977`)
+  * → per-side sums and averaging (`:186-189`).
+  *
+  * Both inputs: DataFrame(member: long, label: long). Cluster sizes are
+  * small dims relative to membership tables, so the size joins broadcast.
+  */
+object Evaluator {
+
+  final case class Scores(fX: Double, fY: Double, avg: Double)
+
+  def fscore(spark: SparkSession, x: DataFrame, y: DataFrame): Scores = {
+    val sx = x.groupBy(col("label").as("lx")).agg(count(lit(1)).as("nx"))
+    val sy = y.groupBy(col("label").as("ly")).agg(count(lit(1)).as("ny"))
+
+    val joined = x.select(col("member"), col("label").as("lx"))
+      .join(y.select(col("member"), col("label").as("ly")), "member")
+    val inter = joined.groupBy("lx", "ly").agg(count(lit(1)).as("i"))
+
+    val scored = inter
+      .join(broadcast(sx), "lx")
+      .join(broadcast(sy), "ly")
+      .withColumn("p", col("i") / col("nx"))
+      .withColumn("r", col("i") / col("ny"))
+      .withColumn("f1",
+        when(col("p") + col("r") === 0.0, 0.0)
+          .otherwise(lit(2) * col("p") * col("r") / (col("p") + col("r"))))
+
+    def side(groupCol: String, sizes: DataFrame, sizeCol: String): Double = {
+      val best = scored.groupBy(groupCol).agg(max(col("f1")).as("best"))
+      val row = sizes.join(best, sizes(if (groupCol == "lx") "lx" else "ly") ===
+          best(groupCol), "left")
+        .select(
+          sum(coalesce(col("best"), lit(0.0)) * col(sizeCol)).as("wsum"),
+          sum(col(sizeCol)).as("tot"))
+        .head()
+      row.getDouble(0) / row.getLong(1)
+    }
+
+    val fX = side("lx", sx, "nx")
+    val fY = side("ly", sy, "ny")
+    Scores(fX, fY, (fX + fY) / 2)
+  }
+}

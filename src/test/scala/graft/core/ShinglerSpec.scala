@@ -1,0 +1,61 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ShinglerSpec extends AnyFunSuite {
+
+  /** Direct positional formula — the reference's init path (`:607-610`). */
+  private def direct(text: String, k: Int): Array[Long] =
+    (0 to text.length - k).map { i =>
+      var v = 0L
+      (0 until k).foreach { j =>
+        v += (text.charAt(i + j) - 'A').toLong *
+          math.round(math.pow(Shingler.AlphabetSize, k - 1 - j))
+      }
+      v
+    }.toArray
+
+  private def azText(rng: scala.util.Random, len: Int): String =
+    (0 until len).map(_ => ('A' + rng.nextInt(26)).toChar).mkString
+
+  test("rolling path equals the direct positional formula (`:604-619`)") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 300) {
+      val t = azText(rng, rng.nextInt(200))
+      val k = 1 + rng.nextInt(8)
+      assert(Shingler.kmerValues(t, k).toSeq == direct(t, k).toSeq,
+        s"k=$k text=$t")
+    }
+  }
+
+  test("hand-checked values, k=3") {
+    // "ABC" -> 0*400 + 1*20 + 2 = 22; "BCD" -> 1*400+2*20+3 = 443
+    assert(Shingler.kmerValues("ABCD", 3).toSeq == Seq(22L, 443L))
+  }
+
+  test("digits beyond base 20 (V..Z) are kept as-is — the reference quirk") {
+    // "ZZZ" -> 25*400 + 25*20 + 25 = 10525
+    assert(Shingler.kmerValues("ZZZ", 3).toSeq == Seq(10525L))
+  }
+
+  test("short text yields no kmers") {
+    assert(Shingler.kmerValues("AB", 3).isEmpty)
+    assert(Shingler.kmerValues("", 3).isEmpty)
+  }
+
+  test("shingleSet is sorted-distinct; jaccard merge-count is exact") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val a = azText(rng, rng.nextInt(120))
+      val b = azText(rng, rng.nextInt(120))
+      val sa = Shingler.shingleSet(a, 3)
+      val sb = Shingler.shingleSet(b, 3)
+      assert(sa.toSeq == sa.toSeq.distinct.sorted)
+      val (setA, setB) = (sa.toSet, sb.toSet)
+      val expected =
+        if (setA.isEmpty && setB.isEmpty) 0.0
+        else (setA & setB).size.toDouble / (setA | setB).size
+      assert(Shingler.jaccard(sa, sb) == expected)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.UnionFind
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ccOf(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+    ConnectedComponents.run(spark,
+      edges.toDF("a", "b"), nodes.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def oracle(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+    val uf = new UnionFind
+    nodes.foreach(uf.add)
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    uf.componentsByMinLabel()
+  }
+
+  test("simple chain + isolated node") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L)
+    assert(ccOf(edges, nodes) == oracle(edges, nodes))
+  }
+
+  test("empty edge set: everyone is a singleton") {
+    val nodes = Seq(3L, 1L, 7L)
+    assert(ccOf(Seq.empty, nodes) == nodes.map(n => n -> n).toMap)
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val edges = Seq((1L, 1L), (2L, 1L), (1L, 2L), (2L, 1L), (3L, 3L))
+    val nodes = Seq(1L, 2L, 3L)
+    assert(ccOf(edges, nodes) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("random graphs match the union-find oracle") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 0 until 5) {
+      val n = 30 + rng.nextInt(70)
+      val nodes = (0 until n).map(_ => rng.nextLong().abs % 100000).distinct
+      val m = rng.nextInt(2 * n)
+      val edges = (0 until m).map { _ =>
+        (nodes(rng.nextInt(nodes.length)), nodes(rng.nextInt(nodes.length)))
+      }
+      assert(ccOf(edges, nodes) == oracle(edges, nodes), s"trial $trial")
+    }
+  }
+
+  test("long path (deep diameter) converges") {
+    val nodes = (0L to 60L).toSeq
+    val edges = nodes.sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = ccOf(edges, nodes)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("star around a large id still labels by min") {
+    val nodes = Seq(100L, 1L, 2L, 3L, 4L)
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L))
+    assert(ccOf(edges, nodes).values.toSet == Set(1L))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.{MinHashParams, SerialOracle}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupPipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private val p8 = MinHashParams(kmerLen = 6, bandWidth = 2, numHashes = 8)
+
+  /** Run pipeline + oracle on the same corpus; compare pairs and clusters.
+    * Ids in the oracle are xxhash64(url) to match [[DedupPipeline.extractDocs]].
+    */
+  private def compare(pages: Seq[Page], cfg: DedupConfig): Unit = {
+    val df = Pages.toDS(spark, pages).toDF()
+    val docs = DedupPipeline.extractDocs(df)
+    val idOf = docs.select("url", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idOf.size == pages.size, "url hash collision in fixture")
+
+    val oracleDocs = pages.map(pg => idOf(pg.url) -> pg.text)
+    val want = SerialOracle.run(oracleDocs, cfg.params, cfg.jaccardThreshold)
+
+    val bandRows = DedupPipeline.signatures(spark, docs, cfg.params)
+    val (rawPairs, _) = DedupPipeline.candidatePairs(spark, bandRows, cfg.maxBucketSize)
+    val pairs = DedupPipeline.verifyPairs(spark, rawPairs, docs, cfg.params,
+      cfg.jaccardThreshold)
+    val gotPairs = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == want.pairs, "candidate pairs differ from oracle")
+
+    val clusters = DedupPipeline.run(spark, df, cfg)
+    val gotClusters = clusters.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(gotClusters == want.clusters, "cluster assignments differ from oracle")
+  }
+
+  test("micro corpus: pipeline == serial oracle (pairs + clusters)") {
+    compare(PagesGen.micro, DedupConfig(params = p8))
+  }
+
+  test("edge corpus: gates, multiset dups, identical texts") {
+    compare(PagesGen.edge(), DedupConfig(params = p8))
+  }
+
+  test("small corpus (1000 docs): pipeline == oracle, with jaccard verify") {
+    compare(PagesGen.small, DedupConfig(params = p8, jaccardThreshold = 0.5))
+  }
+
+  test("text extraction reproduces the text column byte-identically") {
+    (PagesGen.micro ++ PagesGen.edge() ++ PagesGen.small).foreach { pg =>
+      assert(Pages.extractText(pg.html) == pg.text, pg.url)
+    }
+  }
+
+  test("dup-pair recall >= 0.99 on planted near-duplicate groups") {
+    val pages = PagesGen.small
+    val cfg = DedupConfig(params = MinHashParams(numHashes = 16))
+    val clusters = DedupPipeline.run(spark, Pages.toDS(spark, pages).toDF(), cfg)
+    val label = clusters.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[Long]("cluster")).toMap
+    // planted truth: same site{g} prefix = same group
+    def group(url: String): String = url.split("/")(2)
+    val byGroup = pages.groupBy(pg => group(pg.url)).filter(_._2.size > 1)
+    val planted = byGroup.values.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.size)
+        yield (ps(i).url, ps(j).url)
+    }.toSeq
+    val recalled = planted.count { case (u1, u2) => label(u1) == label(u2) }
+    val recall = recalled.toDouble / planted.size
+    assert(recall >= 0.99, s"recall $recall over ${planted.size} planted pairs")
+  }
+
+  test("hot-bucket cap drops pairs but keeps metrics; uncapped matches reference") {
+    val pages = PagesGen.skew(hot = 60, background = 200)
+    val df = Pages.toDS(spark, pages).toDF()
+    val docs = DedupPipeline.extractDocs(df)
+    val bandRows = DedupPipeline.signatures(spark, docs, p8)
+    val (unCapped, hot0) = DedupPipeline.candidatePairs(spark, bandRows, Int.MaxValue)
+    val (capped, hot) = DedupPipeline.candidatePairs(spark, bandRows, 30)
+    assert(hot0.isEmpty)
+    assert(hot.count() > 0, "expected hot buckets above the cap")
+    assert(capped.count() < unCapped.count())
+  }
+
+  test("resume: stage outputs are reused and final result is identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val pages = PagesGen.micro
+    val df = Pages.toDS(spark, pages).toDF()
+    val cfg = DedupConfig(params = p8, outputDir = Some(dir))
+    val first = DedupPipeline.run(spark, df, cfg).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+
+    // wipe the final stage only; resume must rebuild it from earlier stages
+    val clustersDir = new java.io.File(s"$dir/clusters")
+    clustersDir.listFiles().foreach(_.delete())
+    clustersDir.delete()
+    val resumed = DedupPipeline.run(spark, spark.emptyDataFrame, cfg).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(resumed == first)
+
+    val metrics = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metrics.jsonl")), "UTF-8")
+    assert(metrics.contains("\"stage\":\"clusters\""))
+  }
+
+  test("evaluator: spark fscore == serial fscore on pipeline output") {
+    import spark.implicits._
+    val pages = PagesGen.micro
+    val cfgA = DedupConfig(params = MinHashParams(numHashes = 8))
+    val cfgB = DedupConfig(params = MinHashParams(numHashes = 16))
+    val df = Pages.toDS(spark, pages).toDF()
+    val a = DedupPipeline.run(spark, df, cfgA)
+      .select($"id".as("member"), $"cluster".as("label"))
+    val b = DedupPipeline.run(spark, df, cfgB)
+      .select($"id".as("member"), $"cluster".as("label"))
+    val got = Evaluator.fscore(spark, a, b)
+    val am = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bm = b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (fx, fy, avg) = graft.core.FScore.score(am, bm)
+    assert(math.abs(got.fX - fx) < 1e-12)
+    assert(math.abs(got.fY - fy) < 1e-12)
+    assert(math.abs(got.avg - avg) < 1e-12)
+  }
+}
