@@ -1,0 +1,301 @@
+package graft.ops
+
+import graft.core.{MinHasher, MinHashParams, Shingler}
+import graft.pipeline.{ConnectedComponents, DedupPipeline}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MinHash dedup family over the generic `documents` table, each with a
+  * value-exact DuckDB oracle. These queries run the REAL pipeline kernels
+  * (same `MinHasher` / `ConnectedComponents` code as [[graft.pipeline.DedupPipeline]])
+  * so the driver's DuckDB compare independently re-derives the reference
+  * math (`shingling_cluster_generator_optimized.cpp:604-693`) in SQL.
+  *
+  * Text is normalized `upper + strip non-A-Z` first so the reference's
+  * `char - 'A'` base-20 encoding applies with digits in [0, 25].
+  */
+object MinHashDocQueries {
+
+  val params: MinHashParams = MinHashParams(
+    kmerLen = Ops.KmerLen, bandWidth = 2, numHashes = Ops.DocNumHashes,
+    prime = Ops.Prime,
+    randoms = Ops.hashPairs.flatMap { case (a, b) => Seq(a, b) }.toArray)
+
+  def normalizedDocs(spark: SparkSession, dir: String): DataFrame =
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(upper(col("text")), "[^A-Z]", "").as("t"))
+
+  /** (doc_id, hash_idx, m1, m2) — the c=2 minima per hash function. */
+  def signatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = params
+    normalizedDocs(spark, dir).as[(Long, String)]
+      .mapPartitions { it =>
+        val hasher = new MinHasher(p)
+        it.flatMap { case (id, t) =>
+          val sk = hasher.sketch(t)
+          if (sk(0) == null) Iterator.empty
+          else sk.iterator.zipWithIndex.map { case (m, i) =>
+            (id, i.toLong, m(0), m(1))
+          }
+        }
+      }
+      .toDF("doc_id", "hash_idx", "m1", "m2")
+      .orderBy("doc_id", "hash_idx")
+  }
+
+  /** (doc_id, band, key) rows for the LSH join, from the same kernel. */
+  private def bandRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = params
+    normalizedDocs(spark, dir).as[(Long, String)]
+      .mapPartitions { it =>
+        val hasher = new MinHasher(p)
+        it.flatMap { case (id, t) =>
+          hasher.bands(t).iterator.map { case (b, k) => (id, b, k) }
+        }
+      }
+      .toDF("id", "band", "key")
+  }
+
+  /** (id_a, id_b) candidate pairs, canonical a < b, distinct. */
+  def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) =
+      DedupPipeline.candidatePairs(spark, bandRows(spark, dir), Int.MaxValue)
+    pairs.select(col("a").as("id_a"), col("b").as("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** (doc_id, cluster_id) — connected components over the LSH pairs, every
+    * document present, label = min member id.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) =
+      DedupPipeline.candidatePairs(spark, bandRows(spark, dir), Int.MaxValue)
+    val nodes = Ops.table(spark, dir, "documents")
+      .select(col("doc_id").as("id"))
+    ConnectedComponents.run(spark, pairs, nodes)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** (id_a, id_b, inter_size, union_size) — exact Jaccard accounting over
+    * distinct shingle sets for every candidate pair (SURVEY.md SO3; the
+    * north-rule verification stage). Integer outputs keep the oracle
+    * compare float-free.
+    */
+  def jaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = Ops.KmerLen
+    val pairs = lshPairs(spark, dir)
+    val setOf = udf((t: String) => Shingler.shingleSet(t, k))
+    val sets = normalizedDocs(spark, dir)
+      .select(col("doc_id"), setOf(col("t")).as("sh"))
+    val interSize = udf((x: Seq[Long], y: Seq[Long]) =>
+      Shingler.intersectionSize(x.toArray, y.toArray).toLong)
+    pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        interSize(col("sha"), col("shb")).as("inter_size"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("u"))
+      .select(col("id_a"), col("id_b"), col("inter_size"),
+        (col("u") - col("inter_size")).as("union_size"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** (cluster_id, n) for clusters with >= 2 members — the reference's
+    * small-cluster filter shape (`:1137-1147`, min size clamped >= 2).
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir).groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .orderBy("cluster_id")
+
+  /** Top-10 clusters by size (W1, `fvalue_evaluator.cpp:874-916`),
+    * deterministic tie-break by cluster id.
+    */
+  def topClusters(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir).groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("cluster_id"))
+      .limit(10)
+
+  /** Docs not in the "finalized" list (P6, `:1646-1663`) — here the list is
+    * doc_id % 7 == 0, expressed as a genuine left_anti join.
+    */
+  def antiFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Ops.table(spark, dir, "documents").select("doc_id")
+    val finalized = docs.where(col("doc_id") % 7 === 0)
+    docs.join(finalized, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
+  /** Per-cluster best-match F1 between the `source` clustering (side X) and
+    * the `lang` clustering (side Y) — A11/A12 (`fvalue_evaluator.cpp:457-511`,
+    * `:938-977`). Micros-floored to keep the compare integer-exact; the
+    * global weighted average (A13) is covered by core tests.
+    */
+  def bestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Ops.table(spark, dir, "documents")
+    val x = d.select(col("doc_id").as("member"), col("source").as("lx"))
+    val y = d.select(col("doc_id").as("member"), col("lang").as("ly"))
+    val sx = x.groupBy("lx").agg(count(lit(1)).as("nx"))
+    val sy = y.groupBy("ly").agg(count(lit(1)).as("ny"))
+    val inter = x.join(y, "member").groupBy("lx", "ly").agg(count(lit(1)).as("i"))
+    val scored = inter.join(broadcast(sx), "lx").join(broadcast(sy), "ly")
+      .withColumn("p", col("i") / col("nx"))
+      .withColumn("r", col("i") / col("ny"))
+      .withColumn("f1", lit(2) * col("p") * col("r") / (col("p") + col("r")))
+    val bx = scored.groupBy("lx").agg(max(col("f1")).as("bf"))
+      .join(sx, "lx")
+      .select(lit("x").as("side"), col("lx").as("label"), col("nx").as("n"),
+        floor(col("bf") * 1000000).as("best_f1_micros"))
+    val by = scored.groupBy("ly").agg(max(col("f1")).as("bf"))
+      .join(sy, "ly")
+      .select(lit("y").as("side"), col("ly").as("label"), col("ny").as("n"),
+        floor(col("bf") * 1000000).as("best_f1_micros"))
+    bx.union(by).orderBy("side", "label")
+  }
+
+  /** (doc_id, canonical_id) — exact dedup by full text equality (min id per
+    * identical-text group), the A3-distinct shape.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Ops.table(spark, dir, "documents").select("doc_id", "text")
+    val canon = d.groupBy("text").agg(min(col("doc_id")).as("canonical_id"))
+    d.join(canon, "text").select("doc_id", "canonical_id").orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- SQL --
+
+  /** Shared CTE chain computing the signatures in pure SQL (validated on
+    * DuckDB 1.0): positions -> base-20 kmer values -> universal hashes ->
+    * 2 minima per (doc, hash) with the >= c occurrence gate.
+    */
+  val sigCtes: String = s"""
+hp(h, a, b) AS (VALUES ${Ops.hashPairsSql}),
+docs AS (
+  SELECT doc_id, regexp_replace(upper(text), '[^A-Z]', '', 'g') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, length(t) - 4)) AS i FROM docs
+),
+kmers AS (
+  SELECT doc_id, i,
+    (ascii(substr(t, i::INT, 1)) - 65)::BIGINT * 3200000
+    + (ascii(substr(t, (i+1)::INT, 1)) - 65) * 160000
+    + (ascii(substr(t, (i+2)::INT, 1)) - 65) * 8000
+    + (ascii(substr(t, (i+3)::INT, 1)) - 65) * 400
+    + (ascii(substr(t, (i+4)::INT, 1)) - 65) * 20
+    + (ascii(substr(t, (i+5)::INT, 1)) - 65) AS kv
+  FROM pos
+),
+hashed AS (
+  SELECT k.doc_id, hp.h, (k.kv * hp.a + hp.b) % ${Ops.Prime} AS hv
+  FROM kmers k CROSS JOIN hp
+),
+ranked AS (
+  SELECT doc_id, h, hv,
+    row_number() OVER (PARTITION BY doc_id, h ORDER BY hv) AS rn,
+    count(*) OVER (PARTITION BY doc_id, h) AS cnt
+  FROM hashed
+),
+sigs AS (
+  SELECT doc_id, h::BIGINT AS hash_idx,
+    max(CASE WHEN rn = 1 THEN hv END) AS m1,
+    max(CASE WHEN rn = 2 THEN hv END) AS m2
+  FROM ranked WHERE cnt >= 2 GROUP BY doc_id, h
+)"""
+
+  val pairsCtes: String = s"""$sigCtes,
+lsh_pairs AS (
+  SELECT DISTINCT s1.doc_id AS id_a, s2.doc_id AS id_b
+  FROM sigs s1 JOIN sigs s2
+    ON s1.hash_idx = s2.hash_idx AND s1.m1 = s2.m1 AND s1.m2 = s2.m2
+  WHERE s1.doc_id < s2.doc_id
+)"""
+
+  val clustersCtes: String = s"""$pairsCtes,
+bi(u, v) AS (
+  SELECT id_a, id_b FROM lsh_pairs UNION ALL SELECT id_b, id_a FROM lsh_pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT bi.v, reach.lbl FROM reach JOIN bi ON bi.u = reach.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+)"""
+
+  val signaturesSql: String =
+    s"WITH $sigCtes SELECT doc_id, hash_idx, m1, m2 FROM sigs ORDER BY doc_id, hash_idx"
+
+  val lshPairsSql: String =
+    s"WITH $pairsCtes SELECT id_a, id_b FROM lsh_pairs ORDER BY id_a, id_b"
+
+  val clustersSql: String =
+    s"WITH RECURSIVE $clustersCtes SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
+
+  val jaccardSql: String = s"""WITH $pairsCtes,
+shingle_sets AS (SELECT DISTINCT doc_id, kv FROM kmers),
+set_sizes AS (SELECT doc_id, count(*) AS n FROM shingle_sets GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter_size
+  FROM lsh_pairs p
+  JOIN shingle_sets sa ON sa.doc_id = p.id_a
+  JOIN shingle_sets sb ON sb.doc_id = p.id_b AND sb.kv = sa.kv
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+  coalesce(i.inter_size, 0) AS inter_size,
+  za.n + zb.n - coalesce(i.inter_size, 0) AS union_size
+FROM lsh_pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN set_sizes za ON za.doc_id = p.id_a
+JOIN set_sizes zb ON zb.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b"""
+
+  val clusterSizesSql: String = s"""WITH RECURSIVE $clustersCtes
+SELECT cluster_id, count(*) AS n FROM clusters
+GROUP BY cluster_id HAVING count(*) >= 2 ORDER BY cluster_id"""
+
+  val topClustersSql: String = s"""WITH RECURSIVE $clustersCtes
+SELECT cluster_id, count(*) AS n FROM clusters
+GROUP BY cluster_id ORDER BY n DESC, cluster_id LIMIT 10"""
+
+  val antiFilterSql: String = """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+ORDER BY doc_id"""
+
+  val bestMatchSql: String = """
+WITH x AS (SELECT doc_id AS member, source AS label FROM documents),
+y AS (SELECT doc_id AS member, lang AS label FROM documents),
+sx AS (SELECT label AS lx, count(*) AS nx FROM x GROUP BY 1),
+sy AS (SELECT label AS ly, count(*) AS ny FROM y GROUP BY 1),
+inter AS (
+  SELECT x.label AS lx, y.label AS ly, count(*) AS i
+  FROM x JOIN y USING (member) GROUP BY 1, 2
+),
+scored AS (
+  SELECT lx, ly, 2 * (i / nx) * (i / ny) / ((i / nx) + (i / ny)) AS f1
+  FROM inter JOIN sx USING (lx) JOIN sy USING (ly)
+)
+SELECT 'x' AS side, lx AS label, nx AS n,
+  floor(max(f1) * 1000000)::BIGINT AS best_f1_micros
+FROM scored JOIN sx USING (lx) GROUP BY lx, nx
+UNION ALL
+SELECT 'y' AS side, ly AS label, ny AS n,
+  floor(max(f1) * 1000000)::BIGINT AS best_f1_micros
+FROM scored JOIN sy USING (ly) GROUP BY ly, ny
+ORDER BY side, label"""
+
+  val exactDedupSql: String = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
+FROM documents ORDER BY doc_id"""
+}

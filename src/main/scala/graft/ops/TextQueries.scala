@@ -1,0 +1,321 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators a large-scale training-data pipeline needs,
+  * over the `documents` table, each with a value-exact DuckDB oracle:
+  * SimHash fingerprints + dedup, word-n-gram Jaccard, token counting
+  * (whitespace + BPE-ish regex), quality scoring, heuristic language-ID,
+  * rolling-hash document fingerprinting, binary-column metadata, and a
+  * batch shape of the streaming hourly aggregation.
+  *
+  * Everything stays in `org.apache.spark.sql.functions` (codegen'd) except
+  * the SimHash kernel, which is a tight JVM loop behind a UDF.
+  */
+object TextQueries {
+
+  // ------------------------------------------------------------- SimHash --
+
+  /** 31-bit SimHash over character 4-grams of A-Z-normalized text: gram
+    * encoded positionally base-26, hashed with the first universal hash
+    * (a0, b0) mod P; bit j of the result = 1 iff the sum over gram
+    * occurrences of (2*bit_j(h) - 1) is positive.
+    */
+  val SimHashBits = 31
+  val SimGram = 4
+
+  def simhashOf(t: String): Long = {
+    val (a0, b0) = Ops.hashPairs(0)
+    val votes = new Array[Int](SimHashBits)
+    var i = 0
+    val n = t.length - SimGram + 1
+    while (i < n) {
+      var g = 0L
+      var j = 0
+      while (j < SimGram) { g = g * 26 + (t.charAt(i + j) - 'A'); j += 1 }
+      val hv = (g * a0 + b0) % Ops.Prime
+      j = 0
+      while (j < SimHashBits) {
+        votes(j) += (if (((hv >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < SimHashBits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  private def normText: Column =
+    regexp_replace(upper(col("text")), "[^A-Z]", "")
+
+  /** (doc_id, simhash) for docs with at least one 4-gram. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val f = udf((t: String) => simhashOf(t))
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"), normText.as("t"))
+      .where(length(col("t")) >= SimGram)
+      .select(col("doc_id"), f(col("t")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, canonical_id) — SimHash-exact dedup (min id per fingerprint). */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhash(spark, dir)
+    val canon = s.groupBy("simhash").agg(min(col("doc_id")).as("canonical_id"))
+    s.join(canon, "simhash").select("doc_id", "canonical_id").orderBy("doc_id")
+  }
+
+  val simhashCtes: String = {
+    val (a0, b0) = Ops.hashPairs(0)
+    s"""
+docs AS (
+  SELECT doc_id, regexp_replace(upper(text), '[^A-Z]', '', 'g') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t, unnest(range(1, length(t) - ${SimGram - 2})) AS i FROM docs
+),
+hashed AS (
+  SELECT doc_id,
+    (((ascii(substr(t, i::INT, 1)) - 65)::BIGINT * 17576
+      + (ascii(substr(t, (i+1)::INT, 1)) - 65) * 676
+      + (ascii(substr(t, (i+2)::INT, 1)) - 65) * 26
+      + (ascii(substr(t, (i+3)::INT, 1)) - 65)) * $a0 + $b0) % ${Ops.Prime} AS hv
+  FROM grams
+),
+votes AS (
+  SELECT doc_id, j, sum(CASE WHEN (hv >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, $SimHashBits)) AS j)
+  GROUP BY doc_id, j
+),
+sim AS (
+  SELECT doc_id,
+    sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+  }
+
+  val simhashSql: String =
+    s"WITH $simhashCtes SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+
+  val simhashDedupSql: String = s"""WITH $simhashCtes
+SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS canonical_id
+FROM sim ORDER BY doc_id"""
+
+  // -------------------------------------------------- word-n-gram Jaccard --
+
+  /** (id_a, id_b, inter_size, union_size) — distinct word-3-gram Jaccard
+    * accounting for consecutive doc_id pairs (deterministic linear pair
+    * set; the operator under test is the n-gram set similarity).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val grams = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    val g = Ops.table(spark, dir, "documents")
+      .select(col("doc_id"), grams.as("g"))
+    val a = g.select(col("doc_id").as("id_a"), col("g").as("ga"))
+    val b = g.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      col("g").as("gb"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter_size"),
+        (size(col("ga")) + size(col("gb"))
+          - size(array_intersect(col("ga"), col("gb")))).cast("long")
+          .as("union_size"))
+      .orderBy("id_a")
+  }
+
+  val ngramJaccardSql: String = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    tok[i::INT] || ' ' || tok[(i+1)::INT] || ' ' || tok[(i+2)::INT] AS gram
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i FROM toks)
+),
+sizes AS (
+  SELECT t.doc_id, count(g.gram) AS n
+  FROM toks t LEFT JOIN grams g ON g.doc_id = t.doc_id GROUP BY t.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.id_a
+  JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b, coalesce(i.i, 0) AS inter_size,
+  za.n + zb.n - coalesce(i.i, 0) AS union_size
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes za ON za.doc_id = p.id_a
+JOIN sizes zb ON zb.doc_id = p.id_b
+ORDER BY p.id_a"""
+
+  // ---------------------------------------------------------- token count --
+
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String = s"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+FROM documents ORDER BY doc_id"""
+
+  // ------------------------------------------------------- quality scoring --
+
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val stop = typedLit(Ops.Stopwords)
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+          .as("n_alpha"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+          .as("n_digit"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long")
+          .as("n_punct"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(stop, t))).cast("long")
+          .as("n_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String = s"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+  length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::BIGINT AS n_punct,
+  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      t -> list_contains(${Ops.sqlStringList(Ops.Stopwords)}, t)))::BIGINT
+    AS n_stopwords
+FROM documents ORDER BY doc_id"""
+
+  // ------------------------------------------------------------- lang id --
+
+  /** Heuristic language-ID by marker-token counts with a fixed tie-break
+    * order (en > de > fr > es).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    def cnt(markers: Seq[String]): Column =
+      size(filter(toks, t => array_contains(typedLit(markers), t))).cast("long")
+    val Seq(en, de, fr, es) = Ops.LangMarkers.map(m => cnt(m._2))
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"), en.as("c_en"), de.as("c_de"), fr.as("c_fr"),
+        es.as("c_es"))
+      .withColumn("pred_lang",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr")
+          && col("c_en") >= col("c_es"), "en")
+          .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+          .when(col("c_fr") >= col("c_es"), "fr")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def cnt(markers: Seq[String]): String =
+      s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        s"t -> list_contains(${Ops.sqlStringList(markers)}, t)))::BIGINT"
+    val Seq(en, de, fr, es) = Ops.LangMarkers.map(m => cnt(m._2))
+    s"""
+WITH c AS (
+  SELECT doc_id, $en AS c_en, $de AS c_de, $fr AS c_fr, $es AS c_es
+  FROM documents
+)
+SELECT doc_id, c_en, c_de, c_fr, c_es,
+  CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       WHEN c_fr >= c_es THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM c ORDER BY doc_id"""
+  }
+
+  // ----------------------------------------------------------- fingerprint --
+
+  /** Rolling polynomial hash (mod 1e9+7) over the non-whitespace chars —
+    * document fingerprinting, fully codegen'd (transform + aggregate).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val stripped = regexp_replace(col("text"), "\\s", "")
+    val fp = when(length(stripped) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(split(stripped, ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31 + x) % 1000000007L))
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"), fp.as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String = """
+SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+  list_transform(regexp_extract_all(regexp_replace(text, '\s', '', 'g'), '.'),
+    c -> ascii(c)::BIGINT)),
+  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+FROM documents ORDER BY doc_id"""
+
+  // ----------------------------------------------------------- binary meta --
+
+  /** Multimodal plumbing: treat the text bytes as an opaque binary column
+    * and extract typed metadata (byte length + magic prefix) — the schema /
+    * partitioning pattern for image/audio payloads (decode itself is
+    * stubbed in [[MultimodalOps]]; the binary plumbing here is real).
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        upper(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("head_hex"))
+      .orderBy("doc_id")
+
+  val binaryMetaSql: String = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+  upper(hex(encode(substr(text, 1, 4)))) AS head_hex
+FROM documents ORDER BY doc_id"""
+
+  // -------------------------------------------------------- hourly windows --
+
+  /** Batch shape of the streaming aggregation: per (user, hour) event count
+    * and cent-quantized value sum (integer-exact across engines).
+    */
+  def hourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    Ops.table(spark, dir, "events")
+      .groupBy(col("user_id"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100)).cast("long").as("sum_cents"))
+      .orderBy("user_id", "hour_us")
+
+  val hourlyEventsSql: String = """
+SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+  count(*) AS n_events,
+  sum(floor(value * 100))::BIGINT AS sum_cents
+FROM events GROUP BY user_id, hour_us ORDER BY user_id, hour_us"""
+}

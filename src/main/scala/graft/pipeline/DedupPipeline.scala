@@ -59,6 +59,15 @@ object DedupPipeline {
     // the `id_collisions` metric (below) detects them for re-salting.
   }
 
+  /** The reference's `char - 'A'` base-20 shingle encoding assumes A-Z
+    * input (FASTA residues, `fasta_util.cpp:81-98`); arbitrary web text is
+    * first normalized `upper + strip non-A-Z` (identity on the reference's
+    * own inputs). Kept as a named column expr so both the pipeline and the
+    * shingle-set verification stage apply the exact same projection.
+    */
+  def normalizeAZ(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(upper(c), "[^A-Z]", "")
+
   /** Stage 1 — signatures, exploded to band rows: (id, band, key).
     * One mapPartitions pass, no shuffle; the MinHasher is instantiated once
     * per partition and its buffers reused across rows.
@@ -67,7 +76,8 @@ object DedupPipeline {
       params: MinHashParams): DataFrame = {
     import spark.implicits._
     val bParams = spark.sparkContext.broadcast(params)
-    docs.select(col("id"), col("text")).as[(Long, String)]
+    docs.select(col("id"), normalizeAZ(col("text")).as("text"))
+      .as[(Long, String)]
       .mapPartitions { it =>
         val hasher = new MinHasher(bParams.value)
         it.flatMap { case (id, text) =>
@@ -111,7 +121,7 @@ object DedupPipeline {
       .union(pairs.select(col("b").as("id"))).distinct()
     val setOf = udf((text: String) => Shingler.shingleSet(text, k))
     val sets = docs.join(ids, "id")
-      .select(col("id"), setOf(col("text")).as("sh"))
+      .select(col("id"), setOf(normalizeAZ(col("text"))).as("sh"))
     val jac = udf((x: Seq[Long], y: Seq[Long]) =>
       Shingler.jaccard(x.toArray, y.toArray))
     pairs

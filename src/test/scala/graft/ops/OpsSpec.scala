@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("simhash kernel: deterministic, 31-bit, near-dup stability") {
+    val t = "THEQUICKBROWNFOXJUMPSOVERTHELAZYDOGTHEQUICKBROWNFOX"
+    val a = TextQueries.simhashOf(t)
+    assert(a == TextQueries.simhashOf(t))
+    assert(a >= 0 && a < (1L << 31))
+    // single-char mutation moves few bits
+    val b = TextQueries.simhashOf(t.updated(10, 'Z'))
+    assert(java.lang.Long.bitCount(a ^ b) <= 8)
+  }
+
+  test("hyperplanes are deterministic and balanced-ish") {
+    val p1 = Ops.hyperplane(3, 64)
+    assert(p1 == Ops.hyperplane(3, 64))
+    assert(p1.forall(c => c == 1 || c == -1))
+    val pos = (0 until Ops.LshPlanes)
+      .map(j => Ops.hyperplane(j, 64).count(_ == 1)).sum
+    assert(pos > 300 && pos < 724, s"sign balance off: $pos/1024")
+  }
+
+  test("multimodal decode: per-partition pass, magic sniffing, null payloads") {
+    val rows = Seq(
+      (1L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10)),
+      (2L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)),
+      (3L, "RIFF1234WAVE".getBytes("UTF-8")),
+      (4L, "plain".getBytes("UTF-8")),
+      (5L, null)
+    )
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "payload")
+    val got = MultimodalOps.decodeMeta(spark, df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "riff",
+      4L -> "unknown", 5L -> "unknown"))
+  }
+
+  test("frame sampling emits n deterministic slices per row") {
+    import spark.implicits._
+    val df = Seq((1L, ("AB" * 100).getBytes("UTF-8"))).toDF("id", "payload")
+    val frames = MultimodalOps.sampleFrames(df, "id", "payload", 4, 16).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length == 16))
+  }
+
+  test("embedding knn: every query vector gets exactly k ranked neighbors") {
+    val knn = EmbeddingQueries.knn(spark, sf).collect()
+    val byVec = knn.groupBy(_.getLong(0))
+    assert(byVec.size == 500)
+    assert(byVec.values.forall(_.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("bucketed ANN neighbors are a subset of brute-force candidate space") {
+    val buckets = EmbeddingQueries.lshBuckets(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = EmbeddingQueries.annBucketed(spark, sf).collect()
+    assert(ann.nonEmpty)
+    // every returned neighbor shares the query's bucket (the ANN contract)
+    assert(ann.forall(r => buckets(r.getLong(0)) == buckets(r.getLong(2))))
+  }
+
+  test("lang-id tie-break order is en > de > fr > es") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-langid").toString
+    Seq((1L, "nothing matches here", "xx", "s", 20L),
+      (2L, "the und le el", "xx", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.langId(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got == Map(1L -> "en", 2L -> "en")) // all-zero and all-equal -> en
+  }
+}
