@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Fixed-size heap: with Xms << Xmx, G1 region commit/uncommit during heap
+  // growth page-faults across all executor threads (kernel page zeroing),
+  // collapsing >8-thread shuffle stages ~10x on this VM. Measured: 200k-doc
+  // LSH join at local[32] 51s -> 5.3s with Xms=Xmx.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ sys.env.get("EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

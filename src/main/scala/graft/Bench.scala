@@ -1,24 +1,69 @@
 package graft
+
+import graft.core.MinHashParams
+import graft.pipeline.{DedupConfig, DedupPipeline, Pages, PagesGen}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec",
+  *    "queries":{<name>:<sec>,...},
+  *    "pipeline":{"docs":N,"seconds":s,"docs_per_sec":r},
+  *    "cores":C,"sf":"<dir>"}
+  *
+  * The headline is the end-to-end dedup pipeline (read -> signatures ->
+  * LSH pairs -> exact-Jaccard verify -> connected components -> write) on a
+  * deterministic synthetic page corpus sized by BENCH_DOCS (default 50k);
+  * the `queries` section times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR. Run at SPARK_GRAFT_CPUS=8 and =32 on the same input
+  * for the two-parallelism scaling-efficiency evidence (BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchDocs = sys.env.getOrElse("BENCH_DOCS", "50000").toInt
+    val benchHashes = sys.env.getOrElse("BENCH_HASHES", "16").toInt
+    val runQueries = sys.env.getOrElse("BENCH_QUERIES", "true").toBoolean
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // headline: end-to-end dedup throughput on a fresh stage dir
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft-bench").toString
+    val pages = Pages.toDS(spark, PagesGen.bench(benchDocs)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPages = pages.count() // materialize corpus outside the timed window
+    val cfg = DedupConfig(
+      params = MinHashParams(numHashes = benchHashes),
+      jaccardThreshold = 0.5,
+      maxBucketSize = 100000,
+      outputDir = Some(stageDir))
+    val t0 = System.nanoTime()
+    val nOut = DedupPipeline.run(spark, pages, cfg).count()
+    val pipeSec = (System.nanoTime() - t0) / 1e9
+    pages.unpersist()
+
+    val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1)
+      else Seq.empty).map { case (name, fn) =>
+      val t = System.nanoTime()
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipeSec
+    val pipe = f"""{"docs":$nOut,"input_docs":$nPages,""" +
+      f""""seconds":$pipeSec%.3f,"docs_per_sec":${nOut / pipeSec}%.1f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""queries":$qs,"pipeline":$pipe,"cores":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

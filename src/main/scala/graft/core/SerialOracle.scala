@@ -53,8 +53,11 @@ object SerialOracle {
       val sets = docs.map { case (id, t) =>
         id -> Shingler.shingleSet(t, params.kmerLen)
       }.toMap
+      // same comparison form as the pipeline: i >= tau * (union), so the
+      // two sides can never disagree by a final-ulp rounding of i/u
       pairs = pairs.filter { case (a, b) =>
-        Shingler.jaccard(sets(a), sets(b)) >= jaccardThreshold
+        val i = Shingler.intersectionSize(sets(a), sets(b))
+        i >= jaccardThreshold * (sets(a).length + sets(b).length - i)
       }
     }
 

