@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // LSH join at local[32] 51s -> 5.3s with Xms=Xmx.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // fault the whole heap in at JVM start, not mid-shuffle: lazy first-touch
+  // page zeroing otherwise lands on arbitrary stages and adds 2-5x
+  // run-to-run variance at high task counts
+  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -37,14 +37,15 @@ object Bench {
     // headline: end-to-end dedup throughput on a fresh stage dir
     val stageDir = java.nio.file.Files
       .createTempDirectory("graft-bench").toString
-    val pages = Pages.toDS(spark, PagesGen.bench(benchDocs)).toDF()
+    val pages = PagesGen.benchDF(spark, benchDocs).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPages = pages.count() // materialize corpus outside the timed window
+    val withStages = sys.env.getOrElse("BENCH_STAGES", "true").toBoolean
     val cfg = DedupConfig(
       params = MinHashParams(numHashes = benchHashes),
       jaccardThreshold = 0.5,
       maxBucketSize = 100000,
-      outputDir = Some(stageDir))
+      outputDir = if (withStages) Some(stageDir) else None)
     val t0 = System.nanoTime()
     val nOut = DedupPipeline.run(spark, pages, cfg).count()
     val pipeSec = (System.nanoTime() - t0) / 1e9

@@ -19,6 +19,8 @@ object DebugJoin {
         sys.env.getOrElse("PREFER_SMJ", "true"))
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIR", "/tmp"))
+      .config("spark.storage.memoryMapThreshold",
+        sys.env.getOrElse("MMAP_THRESHOLD", "2m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -32,7 +32,7 @@ object DedupMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pages = Pages.toDS(spark, PagesGen.bench(nDocs)).toDF()
+    val pages = PagesGen.benchDF(spark, nDocs).toDF()
     val cfg = DedupConfig(
       params = MinHashParams(numHashes = numHashes),
       jaccardThreshold = tau,

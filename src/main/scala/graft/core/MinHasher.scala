@@ -56,6 +56,86 @@ final class MinHasher(val params: MinHashParams) extends Serializable {
     out
   }
 
+  /** Bands for hash indices [from, until) only — the incremental-recompute
+    * path: the reference's persistent sketch cache computes only the rows
+    * for hash functions it has not seen (`latest_hashed` bookkeeping,
+    * `shingling_cluster_generator_optimized.cpp:469-547`, `:147`). Cost is
+    * O(L * (until-from) * c): hash rows are mutually independent.
+    */
+  def bandsInRange(text: String, from: Int, until: Int): Array[(Int, Long)] = {
+    require(from >= 0 && until <= h && from <= until)
+    if (from == until) return Array.empty
+    val ks = Shingler.kmerValues(text, params.kmerLen)
+    if (ks.length < c) return Array.empty
+    val n = until - from
+    val b = new Array[Long](n * c)
+    java.util.Arrays.fill(b, Long.MaxValue)
+    var p = 0
+    while (p < ks.length) {
+      val x = ks(p)
+      var i = 0
+      while (i < n) {
+        val hv = (x * params.a(from + i) + params.b(from + i)) % params.prime
+        val base = i * c
+        var pos = base + c - 1
+        if (hv < b(pos)) {
+          while (pos > base && hv < b(pos - 1)) { b(pos) = b(pos - 1); pos -= 1 }
+          b(pos) = hv
+        }
+        i += 1
+      }
+      p += 1
+    }
+    val out = new Array[(Int, Long)](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (from + i,
+        MinHasher.pack(java.util.Arrays.copyOfRange(b, i * c, i * c + c),
+          params.prime))
+      i += 1
+    }
+    out
+  }
+
+  /** Packed band keys as a primitive array (index = band index), empty when
+    * the >= c occurrence gate fails — the allocation-light form for the hot
+    * Spark path (pair with `posexplode`; tuple-per-band boxing measured as
+    * the dominant GC source in the signature stage).
+    */
+  def bandKeys(text: String): Array[Long] = {
+    val ks = Shingler.kmerValues(text, params.kmerLen)
+    if (ks.length < c) return Array.emptyLongArray
+    val b = buf
+    java.util.Arrays.fill(b, Long.MaxValue)
+    var p = 0
+    while (p < ks.length) {
+      val x = ks(p)
+      var i = 0
+      while (i < h) {
+        val hv = (x * params.a(i) + params.b(i)) % params.prime
+        val base = i * c
+        var pos = base + c - 1
+        if (hv < b(pos)) {
+          while (pos > base && hv < b(pos - 1)) { b(pos) = b(pos - 1); pos -= 1 }
+          b(pos) = hv
+        }
+        i += 1
+      }
+      p += 1
+    }
+    val out = new Array[Long](h)
+    var i = 0
+    while (i < h) {
+      out(i) =
+        if (c == 2) b(i * 2) * params.prime + b(i * 2 + 1)
+        else if (c == 1) b(i)
+        else MinHasher.pack(java.util.Arrays.copyOfRange(b, i * c, i * c + c),
+          params.prime)
+      i += 1
+    }
+    out
+  }
+
   /** Bands passing the gate, packed for shuffle: (bandIdx, packedKey).
     * For c <= 2 the packing is collision-free and SQL-reproducible:
     * key = m0 (c=1) or m0*P + m1 (c=2; both < P so the product < 2^62).

@@ -1,21 +1,24 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components via alternating large-star / small-star
   * (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014) —
   * replacing the reference's Hash-to-Min MPI loop
   * (`/root/reference/src/shingling_cluster_generator_optimized.cpp:1444-1531`)
   * with the same fixpoint (every node labeled by the min id of its
-  * component, the label contract of `union_find.cpp:43-63`) but skew-safe
-  * behavior: no node ever materializes its whole component in one task —
-  * both star steps are plain join+groupBy(min), so AQE can split hot keys.
+  * component, the label contract of `union_find.cpp:1533-1552` /
+  * `union_find.cpp:43-63`) but skew-safe behavior: no node ever
+  * materializes its whole component in one task.
   *
-  * Each iteration is localCheckpoint'ed to cut lineage (on a real cluster
-  * this would be a reliable checkpoint / stage table — see
-  * [[DedupPipeline]] for the stage-level persistence).
+  * Each star step is ONE shuffle: repartition by node, sort within
+  * partitions, stream each node's neighbor group computing the min and
+  * re-linking — emitted edges are deduped within the group (sorted input),
+  * so no separate distinct pass is needed. Convergence = stable
+  * (count, xor-hash) signature of the edge set; each iteration is
+  * localCheckpoint'ed to cut lineage (a reliable checkpoint / stage table
+  * on a real cluster — see [[DedupPipeline]]).
   */
 object ConnectedComponents {
 
@@ -26,21 +29,25 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
       maxIter: Int = 64): DataFrame = {
+    import spark.implicits._
     var cur = edges
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+      .as[(Long, Long)]
       .localCheckpoint(true)
 
     var prevSig: (Long, Long) = (-1L, 0L)
     var iter = 0
     var converged = cur.isEmpty
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(spark, largeStar(spark, cur)).localCheckpoint(true)
       // order-independent, overflow-free edge-set signature (edges are
-      // distinct, so xor never cancels duplicates)
-      val sigRow = next
+      // distinct within groups; duplicate emissions across groups are
+      // impossible for small-star and harmless-rare for large-star, and a
+      // stable signature still certifies a stable edge multiset)
+      val sigRow = next.toDF("a", "b")
         .agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
       val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
       converged = sig == prevSig
@@ -51,44 +58,89 @@ object ConnectedComponents {
     }
 
     // At the fixpoint `cur` is a star forest: (a = component min, b = member).
-    val assigned = cur.select(col("b").as("id"), col("a").as("component"))
-      .union(cur.select(col("a").as("id"), col("a").as("component")))
+    val assigned = cur.toDF("a", "b")
+      .select(col("b").as("id"), col("a").as("component"))
+      .union(cur.toDF("a", "b").select(col("a").as("id"), col("a").as("component")))
       .distinct()
     nodes.select(col("id").cast("long"))
       .join(assigned, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
-  /** Large-star: for each node u, link every strictly-larger neighbor v to
-    * m(u) = min(Γ(u) ∪ {u}). Keeps the invariant a < b on output.
+  /** Stream sorted (u, v) rows as per-u groups, emitting re-linked edges.
+    * `emit(u, sortedDistinctVs, out)` appends this group's output edges.
     */
-  private[pipeline] def largeStar(edges: DataFrame): DataFrame = {
-    val nbrs = edges.select(col("a").as("u"), col("b").as("v"))
-      .union(edges.select(col("b").as("u"), col("a").as("v")))
-    val m = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("mv"), col("u")).as("m"))
-    nbrs.join(m, "u")
-      .where(col("v") > col("u"))
-      .select(col("m").as("a"), col("v").as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
+  private def groupedStep(spark: SparkSession, rows: Dataset[(Long, Long)])(
+      emit: (Long, Array[Long],
+          scala.collection.mutable.ArrayBuffer[(Long, Long)]) => Unit)
+      : Dataset[(Long, Long)] = {
+    import spark.implicits._
+    rows
+      .repartition(col("_1"))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          private var pending: (Long, Long) = if (it.hasNext) it.next() else null
+          private val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          private var outIdx = 0
+          private val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+          private def advance(): Unit = {
+            while (outIdx >= out.length && pending != null) {
+              out.clear(); outIdx = 0
+              val u = pending._1
+              vs.clear()
+              vs += pending._2
+              pending = null
+              while (pending == null && it.hasNext) {
+                val r = it.next()
+                if (r._1 == u) { if (r._2 != vs.last) vs += r._2 } // sorted dedupe
+                else pending = r
+              }
+              emit(u, vs.toArray, out)
+            }
+          }
+          override def hasNext: Boolean = { advance(); outIdx < out.length }
+          override def next(): (Long, Long) = {
+            advance(); val e = out(outIdx); outIdx += 1; e
+          }
+        }
+      }
   }
 
-  /** Small-star: for each node u, link all smaller neighbors (and u itself)
-    * to the min of the smaller neighborhood.
+  /** Large-star: for each node u, link every strictly-larger neighbor v to
+    * m(u) = min(N(u) ∪ {u}). Input/output orientation: a < b.
     */
-  private[pipeline] def smallStar(edges: DataFrame): DataFrame = {
-    // orientation a < b  =>  smaller-neighbor lists are keyed by u = b
-    val sm = edges.select(col("b").as("u"), col("a").as("v"))
-    val m = sm.groupBy("u").agg(min(col("v")).as("m"))
-    val relink = sm.join(m, "u")
-      .where(col("v") =!= col("m"))
-      .select(col("m").as("a"), col("v").as("b"))
-    val toCenter = m.select(col("m").as("a"), col("u").as("b"))
-    relink.union(toCenter)
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
+  private[pipeline] def largeStar(spark: SparkSession,
+      edges: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    val nbrs = edges.flatMap(e => Iterator((e._1, e._2), (e._2, e._1)))
+    groupedStep(spark, nbrs) { (u, vs, out) =>
+      val m = math.min(u, vs(0)) // vs sorted ascending
+      var i = 0
+      while (i < vs.length) {
+        if (vs(i) > u && vs(i) != m) out += ((m, vs(i)))
+        i += 1
+      }
+    }
+  }
+
+  /** Small-star: for each node u, link all smaller neighbors and u itself
+    * to the min of the smaller neighborhood. Input orientation a < b means
+    * smaller-neighbor lists are keyed by u = b.
+    */
+  private[pipeline] def smallStar(spark: SparkSession,
+      edges: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    val sm = edges.map(e => (e._2, e._1)) // (u = larger, v = smaller)
+    groupedStep(spark, sm) { (u, vs, out) =>
+      val m = vs(0) // min smaller neighbor; m < u
+      var i = 1
+      while (i < vs.length) {
+        out += ((m, vs(i))) // m < vs(i) since sorted
+        i += 1
+      }
+      out += ((m, u))
+    }
   }
 }

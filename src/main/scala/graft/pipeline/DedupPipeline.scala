@@ -40,6 +40,12 @@ final case class DedupConfig(
     /** LSH buckets larger than this are dropped (with metrics) before pair
       * generation. Int.MaxValue = reference behavior (no cap). */
     maxBucketSize: Int = Int.MaxValue,
+    /** total shingling rounds (reference `shingling_iterations`, default 2
+      * there): rounds beyond the first re-sketch each node over its
+      * neighbor-id set and union the resulting pairs (graph
+      * densification — [[VertexShingling]]). 1 = k-mer round only, the
+      * dedup-semantics default. */
+    shinglingIterations: Int = 1,
     /** stage persistence root; None = fully in-memory (tests). */
     outputDir: Option[String] = None
 )
@@ -78,32 +84,91 @@ object DedupPipeline {
     */
   def signatures(spark: SparkSession, docs: DataFrame,
       params: MinHashParams): DataFrame = {
-    val bandsUdf = udf((t: String) => new MinHasher(params).bands(t))
+    // primitive Array[Long] of packed band keys, band index = position
+    // (posexplode) — no per-row tuple boxing; the MinHasher lives in the
+    // closure, one instance per task, buffers reused across rows
+    val hasher = new MinHasher(params)
+    val keysUdf = udf((t: String) => hasher.bandKeys(t))
     docs
       .select(col("id"),
-        explode(bandsUdf(normalizeAZ(col("text")))).as("bk"))
-      .select(col("id"), col("bk._1").as("band"), col("bk._2").as("key"))
+        posexplode(keysUdf(normalizeAZ(col("text")))).as(Seq("band", "key")))
+      .select(col("id"), col("band"), col("key"))
   }
 
-  /** Stage 2 — candidate pairs via LSH-bucket self-join: (a, b), a < b,
-    * distinct. Returns (pairs, droppedBuckets metric source).
+  /** Stage 2 — candidate pairs: within every (band, key) LSH bucket emit
+    * all canonical (a < b) pairs, then distinct across bands — the
+    * reference's `draw_graph` collate+reduce
+    * (`shingling_cluster_generator_optimized.cpp:225-249`, `:750-798`),
+    * emitting each pair once instead of both directions.
+    *
+    * Default strategy: ONE shuffle (repartition by bucket key) + sorted
+    * streaming group emission in a partition pass — measured ~2x faster
+    * than the equi-self-join, which sorts the band rows twice. Buckets
+    * above `maxBucketSize` emit nothing (the n^2 guard; the reference just
+    * eats the blowup). Set `selfJoin = true` for the join formulation, where
+    * AQE skew-split can spread one pathological bucket across tasks at the
+    * cost of a second sort.
+    *
+    * Returns (pairs, hotBuckets) — hotBuckets is the drop-metrics source,
+    * computed only when a cap is set.
     */
   def candidatePairs(spark: SparkSession, bandRows: DataFrame,
-      maxBucketSize: Int): (DataFrame, DataFrame) = {
+      maxBucketSize: Int, selfJoin: Boolean = false): (DataFrame, DataFrame) = {
     val sized = bandRows.groupBy("band", "key").agg(count(lit(1)).as("n"))
-    val hot = sized.where(col("n") > maxBucketSize)
-    val eligible =
-      if (maxBucketSize == Int.MaxValue) bandRows
-      else bandRows.join(hot.select("band", "key"), Seq("band", "key"),
-        "left_anti")
-    // self-join with IDENTICAL child plans on both sides: the (band, key)
-    // shuffle is planned once and reused (ReusedExchange), so signatures
-    // are computed a single time even without a stage table in between
-    val pairs = eligible.as("l").join(eligible.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key")
-          && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
+    val hot =
+      if (maxBucketSize == Int.MaxValue) sized.where(lit(false))
+      else sized.where(col("n") > maxBucketSize)
+
+    val pairs = if (selfJoin) {
+      val eligible =
+        if (maxBucketSize == Int.MaxValue) bandRows
+        else bandRows.join(hot.select("band", "key"), Seq("band", "key"),
+          "left_anti")
+      // identical child plans on both sides: the (band, key) shuffle is
+      // planned once and reused (ReusedExchange)
+      eligible.as("l").join(eligible.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key")
+            && col("l.id") < col("r.id"))
+        .select(col("l.id").as("a"), col("r.id").as("b"))
+        .distinct()
+    } else {
+      import spark.implicits._
+      val cap = maxBucketSize
+      bandRows
+        .repartition(col("band"), col("key"))
+        .sortWithinPartitions("band", "key", "id")
+        .select(col("band"), col("key"), col("id")).as[(Int, Long, Long)]
+        .mapPartitions { it =>
+          // stream (band, key) groups off the sorted iterator, then emit
+          // each group's pairs lazily: memory is bounded by one bucket's
+          // id array (<= cap), never by its n^2 pair count
+          val groups = new Iterator[Array[Long]] {
+            private var pending: (Int, Long, Long) =
+              if (it.hasNext) it.next() else null
+            override def hasNext: Boolean = pending != null
+            override def next(): Array[Long] = {
+              val (b0, k0, id0) = pending
+              val ids = scala.collection.mutable.ArrayBuffer[Long](id0)
+              pending = null
+              while (pending == null && it.hasNext) {
+                val r = it.next()
+                if (r._1 == b0 && r._2 == k0) ids += r._3 else pending = r
+              }
+              ids.toArray // ascending: input is sorted by (band, key, id)
+            }
+          }
+          groups.flatMap { ids =>
+            if (ids.length < 2 || ids.length > cap) Iterator.empty
+            else for {
+              i <- ids.indices.iterator
+              j <- (i + 1 until ids.length).iterator
+              if ids(i) != ids(j)
+            } yield (ids(i), ids(j))
+          }
+        }
+        .toDF("a", "b")
+        .distinct()
+    }
     (pairs, hot)
   }
 
@@ -148,6 +213,10 @@ object DedupPipeline {
     val docs = io.stage("docs") {
       extractDocs(pages)
     }
+    // docs feeds signatures, verification, and the final url join; without
+    // a stage table it must be persisted or extraction re-runs per consumer
+    if (cfg.outputDir.isEmpty)
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandRows = io.stage("signatures") {
       signatures(spark, docs, cfg.params)
@@ -162,13 +231,24 @@ object DedupPipeline {
       p
     }
 
-    val pairs = io.stage("pairs") {
+    val verified = io.stage("pairs") {
       verifyPairs(spark, rawPairs, docs, cfg.params, cfg.jaccardThreshold)
     }
+
+    val pairs =
+      if (cfg.shinglingIterations <= 1) verified
+      else io.stage("pairs_dense") {
+        (2 to cfg.shinglingIterations).foldLeft(verified) { (e, _) =>
+          VertexShingling.densify(spark, e, cfg.params, cfg.maxBucketSize)
+        }
+      }
 
     val components = io.stage("components") {
       ConnectedComponents.run(spark, pairs, docs.select("id"))
     }
+    // components feeds both the size aggregation and the url join
+    if (cfg.outputDir.isEmpty)
+      components.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     io.stage("clusters") {
       val sizes = components.groupBy("component")

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.core.{MinHasher, MinHashParams}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's outer driver loop
+  * (`/root/reference/src/minhash_clustering.cpp:133,219-258`): two
+  * clusterings are maintained — "test" with h hash functions and "base"
+  * with h-Δ — and h is incremented until the weighted best-match F-score
+  * between them reaches the threshold (self-consistency convergence).
+  *
+  * The signature optimization carried over is I1 (incremental sketches,
+  * `shingling_cluster_generator_optimized.cpp:469-547`): iteration h
+  * computes band rows ONLY for the hash indices not yet materialized and
+  * appends them to a band-row stage table partitioned by hash index; both
+  * clusterings then read the prefix they need. At 10^12 rows this is the
+  * difference between O(h_final) and O(h_final^2) sketch work.
+  */
+object HashSweep {
+
+  final case class SweepStep(numHashes: Int, fscore: Double, clusters: Long)
+  final case class SweepResult(steps: Seq[SweepStep], converged: Boolean,
+      assignments: DataFrame)
+
+  /** @param bandDir stage dir for the incremental band-row table
+    *                (written as bandDir/h=<i>/ per hash index)
+    */
+  def run(
+      spark: SparkSession,
+      pages: DataFrame,
+      bandDir: String,
+      startHashes: Int = 41,
+      delta: Int = 40,
+      maxHashes: Int = 2000,
+      threshold: Double = 0.9,
+      baseParams: MinHashParams = MinHashParams(numHashes = 1)
+  ): SweepResult = {
+    require(startHashes > delta, "test must have more hashes than base")
+    val docs = DedupPipeline.extractDocs(pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var materialized = 0
+    def appendBands(until: Int): Unit = if (until > materialized) {
+      val from = materialized
+      val p = baseParams.copy(numHashes = until)
+      val bandsUdf = udf((t: String) =>
+        new MinHasher(p).bandsInRange(t, from, until))
+      docs
+        .select(col("id"),
+          explode(bandsUdf(DedupPipeline.normalizeAZ(col("text")))).as("bk"))
+        .select(col("id"), col("bk._1").as("band"), col("bk._2").as("key"))
+        .write.mode("append").partitionBy("band").parquet(bandDir)
+      materialized = until
+    }
+
+    def clusterWith(numBands: Int): DataFrame = {
+      val bands = spark.read.parquet(bandDir).where(col("band") < numBands)
+      val (pairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue)
+      ConnectedComponents.run(spark, pairs, docs.select("id"))
+        .select(col("id").as("member"), col("component").as("label"))
+    }
+
+    val steps = scala.collection.mutable.ArrayBuffer.empty[SweepStep]
+    var h = startHashes
+    var f = 0.0
+    var last: DataFrame = null
+    while (f < threshold && h <= maxHashes) {
+      appendBands(h)
+      val test = clusterWith(h)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = clusterWith(h - delta)
+      f = Evaluator.fscore(spark, test, base).avg
+      val n = test.select("label").distinct().count()
+      steps += SweepStep(h, f, n)
+      if (last != null) last.unpersist()
+      last = test
+      h += 1
+    }
+    SweepResult(steps.toSeq, f >= threshold,
+      last.select(col("member").as("id"), col("label").as("cluster")))
+  }
+}

@@ -152,4 +152,56 @@ object PagesGen {
     val nSingles = nDocs - nGroups * 6
     corpus(seed = 47, nGroups = nGroups, nSingles = math.max(nSingles, 0))
   }
+
+  /** Distributed deterministic bench corpus: each row derives purely from
+    * its index (group master text re-derived from the group seed), so
+    * generation runs as a parallel `spark.range` map with no driver-side
+    * Seq materialization or serialization bottleneck. Same shape as
+    * [[bench]]: groups of sizes cycling 2..10 + singletons, near-dup
+    * mutations, uppercase A-Z text.
+    */
+  def benchDF(spark: org.apache.spark.sql.SparkSession, nDocs: Long)
+      : org.apache.spark.sql.Dataset[Page] = {
+    import spark.implicits._
+    val groupShare = (nDocs * 6) / 10 // ~60% of rows live in dup groups
+    spark.range(0, nDocs, 1, spark.sparkContext.defaultParallelism)
+      .map { idx =>
+        if (idx < groupShare) {
+          // rows [0, groupShare) pack consecutively into groups whose sizes
+          // cycle 2..10 (avg 6); find (group, member) for this row index
+          val cycle = (2 to 10).sum // 54 rows per 9-group cycle
+          val cycleIdx = idx / cycle
+          var rem = (idx % cycle).toInt
+          var size = 2
+          var inCycle = 0
+          while (rem >= size) { rem -= size; size += 1; inCycle += 1 }
+          val group = cycleIdx * 9 + inCycle
+          val member = rem
+          val grng = new scala.util.Random(0x9E3779B9L * (group + 1))
+          val len = 60 + grng.nextInt(340)
+          val master = Array.fill(len)(('A' + grng.nextInt(26)).toChar)
+          if (member > 0) {
+            val mrng = new scala.util.Random(group * 1000003L + member)
+            var m = 0
+            val nMut = math.max(1, len / 80)
+            while (m < nMut) {
+              master(mrng.nextInt(len)) = ('A' + mrng.nextInt(26)).toChar
+              m += 1
+            }
+          }
+          val text = new String(master)
+          Page(s"https://site$group.example/page/$member",
+            new java.sql.Timestamp(1577836800000L + idx),
+            Pages.htmlFor(text), text, "en")
+        } else {
+          val rng = new scala.util.Random(0xC2B2AE35L * (idx + 1))
+          val len = 60 + rng.nextInt(340)
+          val text = (0 until len).map(_ => ('A' + rng.nextInt(26)).toChar)
+            .mkString
+          Page(s"https://single$idx.example/page/0",
+            new java.sql.Timestamp(1577836800000L + idx),
+            Pages.htmlFor(text), text, "en")
+        }
+      }
+  }
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.core.{MinHasher, MinHashParams}
+import graft.pipeline.DedupPipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming forms of the dedup operators (Structured Streaming). The
+  * reference is a batch engine; its incremental-across-iterations design
+  * (SURVEY.md §2.8) maps naturally onto streams: pages arrive continuously,
+  * near-dup candidate pairs are emitted as soon as a band bucket gets a
+  * second member.
+  */
+object StreamingDedup {
+
+  /** Exact streaming dedup: first page per text fingerprint wins. Late
+    * arrivals beyond the watermark are dropped from state (bounded state —
+    * the production requirement at web scale).
+    */
+  def exactDedup(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  final case class BandRow(id: Long, band: Int, key: Long)
+  final case class CandidatePair(a: Long, b: Long)
+
+  /** Streaming LSH candidate pairs: per (band, key) bucket, keep the set of
+    * member ids in state; each new member emits a canonical pair against
+    * every existing member (the streaming form of `draw_graph`,
+    * `shingling_cluster_generator_optimized.cpp:750-798`). State per bucket
+    * is capped at `maxBucket` (hot-band guard) and expires after
+    * `stateTtlMs` of inactivity.
+    */
+  def lshPairs(spark: SparkSession, pages: DataFrame, params: MinHashParams,
+      maxBucket: Int = 1024, stateTtlMs: Long = 24L * 3600 * 1000)
+      : Dataset[CandidatePair] = {
+    import spark.implicits._
+    val bandsUdf = udf((t: String) => new MinHasher(params).bands(t))
+    val bands = pages
+      .select(xxhash64(col("url")).as("id"),
+        explode(bandsUdf(DedupPipeline.normalizeAZ(col("text")))).as("bk"))
+      .select(col("id"), col("bk._1").as("band"), col("bk._2").as("key"))
+      .as[BandRow]
+
+    // stateTtlMs <= 0 disables timers (unbounded state; tests). With
+    // timers, the trigger fires periodic timeout-sweep batches.
+    val timeout = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    bands
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (_: (Int, Long), rows: Iterator[BandRow],
+            state: GroupState[Set[Long]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Set.empty[Long])
+            val out = Iterator.newBuilder[CandidatePair]
+            rows.foreach { r =>
+              if (!members.contains(r.id) && members.size < maxBucket) {
+                members.foreach { m =>
+                  out += CandidatePair(math.min(m, r.id), math.max(m, r.id))
+                }
+                members += r.id
+              }
+            }
+            state.update(members)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result()
+          }
+        })
+    // NOTE: a pair may be emitted once per shared band (the reference emits
+    // both directions per bucket too, `:750-798`); downstream connected
+    // components is idempotent to duplicates, and chaining a streaming
+    // dropDuplicates here would add a second unbounded stateful operator.
+  }
+}

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.{MinHasher, MinHashParams}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HashSweepSpec extends AnyFunSuite with SparkSpec {
+
+  test("bandsInRange matches full bands on every sub-range (I1 exactness)") {
+    val p = MinHashParams(kmerLen = 6, bandWidth = 2, numHashes = 12)
+    val hasher = new MinHasher(p)
+    val rng = new scala.util.Random(29)
+    for (_ <- 0 until 40) {
+      val t = (0 until rng.nextInt(150))
+        .map(_ => ('A' + rng.nextInt(26)).toChar).mkString
+      val full = hasher.bands(t)
+      for (from <- 0 to 12; until <- from to 12) {
+        val part = hasher.bandsInRange(t, from, until)
+        val want = if (full.isEmpty) Seq.empty else full.slice(from, until).toSeq
+        assert(part.toSeq == want, s"range [$from,$until) t=$t")
+      }
+    }
+  }
+
+  test("sweep: incremental append equals from-scratch clustering per step") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+    val pages = Pages.toDS(spark, PagesGen.micro).toDF()
+    val result = HashSweep.run(spark, pages, bandDir = dir,
+      startHashes = 6, delta = 4, maxHashes = 9, threshold = 0.95)
+    assert(result.steps.nonEmpty)
+    // convergence is monotone-ish on this corpus; final step must have run
+    // with the last h and produced a full assignment
+    val n = result.assignments.count()
+    assert(n == pages.count())
+
+    // cross-check the last step against a from-scratch pipeline at same h
+    val lastH = result.steps.last.numHashes
+    val docs = DedupPipeline.extractDocs(pages)
+    val bands = DedupPipeline.signatures(spark, docs,
+      MinHashParams(numHashes = lastH))
+    val (pairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue)
+    val want = ConnectedComponents.run(spark, pairs, docs.select("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = result.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "incremental sweep diverged from from-scratch run")
+  }
+
+  test("sweep records increasing hash counts and stops at threshold or max") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep2").toString
+    val pages = Pages.toDS(spark, PagesGen.micro).toDF()
+    val r = HashSweep.run(spark, pages, bandDir = dir,
+      startHashes = 5, delta = 3, maxHashes = 7, threshold = 2.0) // unreachable
+    assert(!r.converged)
+    assert(r.steps.map(_.numHashes) == Seq(5, 6, 7))
+    assert(r.steps.forall(s => s.fscore >= 0.0 && s.fscore <= 1.0))
+  }
+}

@@ -25,7 +25,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       val pages = Pages.toDS(spark, PagesGen.small).toDF()
       val docs = DedupPipeline.extractDocs(pages)
       val bands = DedupPipeline.signatures(spark, docs, p)
-      val (pairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue)
+      val (pairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue,
+        selfJoin = true)
       val plan = pairs.queryExecution.executedPlan.toString
       assert(plan.contains("ReusedExchange"),
         s"expected ReusedExchange in:\n$plan")
@@ -33,6 +34,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  test("group-emit and self-join pair strategies produce identical pairs") {
+    val pages = Pages.toDS(spark, PagesGen.small).toDF()
+    val docs = DedupPipeline.extractDocs(pages)
+    val bands = DedupPipeline.signatures(spark, docs, p)
+      .persist()
+    def setOf(selfJoin: Boolean, cap: Int) =
+      DedupPipeline.candidatePairs(spark, bands, cap, selfJoin)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(setOf(false, Int.MaxValue) == setOf(true, Int.MaxValue))
+    assert(setOf(false, 5) == setOf(true, 5)) // capped semantics match too
+    bands.unpersist()
   }
 
   test("parquet scan prunes columns: signature stage reads only url/html") {
