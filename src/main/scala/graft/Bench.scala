@@ -51,20 +51,38 @@ object Bench {
     val pipeSec = (System.nanoTime() - t0) / 1e9
     pages.unpersist()
 
-    val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1)
-      else Seq.empty).map { case (name, fn) =>
+    val toRun = if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1)
+      else Seq.empty
+    // warm-up pass: run the suite once untimed so the timed pass measures
+    // plan cost, not first-query JIT + codegen + shuffle-service warm-up
+    // (BENCH_WARMUP=false for single-shot cold numbers)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark
+        .sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        false
+      }
+    if (sys.env.getOrElse("BENCH_WARMUP", "true").toBoolean)
+      toRun.foreach { case (n, f) => runOnce(n, f) }
+    val results = toRun.map { case (name, fn) =>
       val t = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t) / 1e9
+      val ok = runOnce(name, fn)
+      if (!ok) failures += name
+      // a crashed query must never read as a fast time: poison its entry
+      name -> (if (ok) (System.nanoTime() - t) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipeSec
+    val total = results.map(_._2).filter(_ >= 0).sum + pipeSec
     val pipe = f"""{"docs":$nOut,"input_docs":$nPages,""" +
       f""""seconds":$pipeSec%.3f,"docs_per_sec":${nOut / pipeSec}%.1f}"""
+    val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      s""""queries":$qs,"pipeline":$pipe,"cores":$cpus,"sf":"$sfDir"}""")
+      s""""queries":$qs,"pipeline":$pipe,"failed":$failed,""" +
+      s""""cores":$cpus,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

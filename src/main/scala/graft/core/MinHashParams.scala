@@ -15,8 +15,12 @@ package graft.core
   *     checked-in file exactly like the reference's `-x use_fixed_randoms`
   *     path (`shingling_toolbox.cpp:22-39`, README:77).
   *
-  * All arithmetic fits signed 64-bit: kmer values < 26*Σ20^i ≈ 8.5e7 < 2^27,
-  * a,b < 2^31 ⇒ a*x + b < 2^58.
+  * 64-bit safety is *checked*, not assumed: the largest possible kmer value
+  * for A-Z-normalized input is 25·Σ_{i<k}20^i, and the constructor requires
+  * max_kmer * max(a_i) + max(b_i) to fit in a signed 64-bit long. With the
+  * checked-in randoms (a, b < 2^31) this admits kmerLen <= 7; larger k with
+  * the default family would silently wrap negative (diverging from the
+  * reference's math), so it fails loudly here instead.
   */
 final case class MinHashParams(
     kmerLen: Int = 6,
@@ -32,6 +36,17 @@ final case class MinHashParams(
     randoms.length >= 2 * numHashes,
     s"need ${2 * numHashes} randoms for $numHashes hash functions, got ${randoms.length}"
   )
+  // overflow guard: max kmer value (digits up to 25, base 20) times the
+  // largest multiplier must stay within signed 64-bit, or (x*a + b) % P
+  // wraps negative and the sketch silently diverges from the reference
+  require({
+    val maxKmer = (0 until kmerLen).foldLeft(BigInt(0))((acc, _) =>
+      acc * 20 + 25)
+    val maxA = (0 until numHashes).map(a).max
+    val maxB = (0 until numHashes).map(b).max
+    maxKmer * maxA + maxB <= BigInt(Long.MaxValue)
+  }, s"kmerLen=$kmerLen with this hash family overflows signed 64-bit " +
+     "arithmetic in (x*a + b); use kmerLen <= 7 or smaller multipliers")
 
   def a(i: Int): Long = randoms(2 * i)
   def b(i: Int): Long = randoms(2 * i + 1)

@@ -29,9 +29,20 @@ object EmbeddingQueries {
       .withColumn("nrm",
         aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
 
-  /** Brute-force cosine top-5: (vec_id, rnk, neighbor_id). */
-  def knn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** Brute-force cosine top-5: (vec_id, rnk, neighbor_id).
+    *
+    * This is the DECLARED n^2 oracle baseline, fenced off from any scale
+    * path ([[annBucketed]] is the real operator): the cross join refuses to
+    * launch above `maxRows` vectors so a config typo can never start a
+    * 10^12-row cartesian job.
+    */
+  def knn(spark: SparkSession, dir: String, k: Int = 5,
+      maxRows: Long = 1000000L): DataFrame = {
     val e = quantized(spark, dir)
+    val n = e.count()
+    require(n <= maxRows,
+      s"brute-force knn is the small-scale oracle baseline: $n vectors > " +
+      s"maxRows=$maxRows; use annBucketed for the bucketed scale path")
     val a = e.select(col("vec_id").as("a_id"), col("q").as("qa"))
     val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"),
       col("nrm").as("nb"))

@@ -93,7 +93,10 @@ object MinHashDocQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val interOf = udf((x: Array[Long], y: Array[Long]) =>
       Shingler.intersectionSize(x, y).toLong)
-    pairs
+    // eager localCheckpoint materializes the (small) per-pair result so the
+    // cached intermediates can be released before returning — a long-lived
+    // session (Bench/Verify run 22 queries) must not accumulate cache
+    val out = pairs
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -101,7 +104,10 @@ object MinHashDocQueries {
         (size(col("sha")) + size(col("shb"))).cast("long").as("apb"))
       .select(col("id_a"), col("id_b"), col("inter_size"),
         (col("apb") - col("inter_size")).as("union_size"))
-      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    pairs.unpersist()
+    sets.unpersist()
+    out.orderBy("id_a", "id_b")
   }
 
   /** (cluster_id, n) for clusters with >= 2 members — the reference's

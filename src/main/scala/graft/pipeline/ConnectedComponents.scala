@@ -56,6 +56,13 @@ object ConnectedComponents {
       cur = next
       iter += 1
     }
+    // a non-converged star forest is silently WRONG (nodes may carry a
+    // non-minimal label) — fail loudly; large/small-star converges in
+    // O(log^2 n) rounds, so hitting maxIter means a real problem
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter iterations " +
+        s"(last edge-set signature $prevSig); raise maxIter")
 
     // At the fixpoint `cur` is a star forest: (a = component min, b = member).
     val assigned = cur.toDF("a", "b")

@@ -46,6 +46,14 @@ final case class DedupConfig(
       * densification — [[VertexShingling]]). 1 = k-mer round only, the
       * dedup-semantics default. */
     shinglingIterations: Int = 1,
+    /** LSH buckets larger than this are decomposed into balanced salted
+      * blocks before pair emission (lossless — every pair of the bucket is
+      * still emitted, but no single task ever holds more than ~2x this many
+      * ids). Int.MaxValue disables salting. See [[DedupPipeline.candidatePairs]]. */
+    saltBlockSize: Int = 4096,
+    /** verify id = xxhash64(url) is collision-free (one count+countDistinct
+      * pass over docs) and fail loudly otherwise. */
+    checkIdCollisions: Boolean = true,
     /** stage persistence root; None = fully in-memory (tests). */
     outputDir: Option[String] = None
 )
@@ -62,7 +70,8 @@ object DedupPipeline {
       .select(col("url"), extract(col("html")).as("text"))
       .withColumn("id", xxhash64(col("url")))
     // id collisions: p(any) ≈ n²/2^65 — negligible to ~10^9 docs; at 10^12
-    // the `id_collisions` metric (below) detects them for re-salting.
+    // run() checks count vs countDistinct(id) and fails loudly (re-salt by
+    // switching the id expression to xxhash64(url, lit(salt))).
   }
 
   /** The reference's `char - 'A'` base-20 shingle encoding assumes A-Z
@@ -103,26 +112,40 @@ object DedupPipeline {
     *
     * Default strategy: ONE shuffle (repartition by bucket key) + sorted
     * streaming group emission in a partition pass — measured ~2x faster
-    * than the equi-self-join, which sorts the band rows twice. Buckets
-    * above `maxBucketSize` emit nothing (the n^2 guard; the reference just
-    * eats the blowup). Set `selfJoin = true` for the join formulation, where
-    * AQE skew-split can spread one pathological bucket across tasks at the
-    * cost of a second sort.
+    * than the equi-self-join, which sorts the band rows twice.
     *
-    * Returns (pairs, hotBuckets) — hotBuckets is the drop-metrics source,
-    * computed only when a cap is set.
+    * Hot-band skew (north rule): buckets larger than `saltBlockSize` are
+    * decomposed LOSSLESSLY via salted band keys — each member is assigned a
+    * deterministic block in [0, B), B = ceil(n / saltBlockSize), and
+    * replicated into the B salted groups (band, key, min(blk,g), max(blk,g));
+    * group (gi, gj) emits the cross product of its two blocks (triangular
+    * when gi == gj), so every pair of the bucket appears in EXACTLY one
+    * salted group and the hot bucket's n^2/2 pair emission spreads over
+    * B(B+1)/2 independent tasks with <= ~2*saltBlockSize ids each. The
+    * reference serializes the whole bucket into one process and eats the n^2
+    * (`:750-798`); the previous cap-drop here LOST pairs.
+    *
+    * Buckets above `maxBucketSize` are still dropped (with metrics) — an
+    * explicit recall/cost policy knob, now orthogonal to skew handling.
+    * Set `selfJoin = true` for the AQE skew-split join formulation.
+    *
+    * Returns (pairs, droppedBuckets) — droppedBuckets is the drop-metrics
+    * source, computed only when a cap is set.
     */
   def candidatePairs(spark: SparkSession, bandRows: DataFrame,
-      maxBucketSize: Int, selfJoin: Boolean = false): (DataFrame, DataFrame) = {
+      maxBucketSize: Int, selfJoin: Boolean = false,
+      saltBlockSize: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+    require(saltBlockSize >= 2 || saltBlockSize == Int.MaxValue,
+      s"saltBlockSize must be >= 2, got $saltBlockSize")
     val sized = bandRows.groupBy("band", "key").agg(count(lit(1)).as("n"))
-    val hot =
+    val dropped =
       if (maxBucketSize == Int.MaxValue) sized.where(lit(false))
       else sized.where(col("n") > maxBucketSize)
 
     val pairs = if (selfJoin) {
       val eligible =
         if (maxBucketSize == Int.MaxValue) bandRows
-        else bandRows.join(hot.select("band", "key"), Seq("band", "key"),
+        else bandRows.join(dropped.select("band", "key"), Seq("band", "key"),
           "left_anti")
       // identical child plans on both sides: the (band, key) shuffle is
       // planned once and reused (ReusedExchange)
@@ -131,45 +154,147 @@ object DedupPipeline {
             && col("l.id") < col("r.id"))
         .select(col("l.id").as("a"), col("r.id").as("b"))
         .distinct()
+    } else if (saltBlockSize == Int.MaxValue) {
+      groupEmitPairs(spark, bandRows, maxBucketSize).distinct()
     } else {
-      import spark.implicits._
-      val cap = maxBucketSize
-      bandRows
-        .repartition(col("band"), col("key"))
-        .sortWithinPartitions("band", "key", "id")
-        .select(col("band"), col("key"), col("id")).as[(Int, Long, Long)]
-        .mapPartitions { it =>
-          // stream (band, key) groups off the sorted iterator, then emit
-          // each group's pairs lazily: memory is bounded by one bucket's
-          // id array (<= cap), never by its n^2 pair count
-          val groups = new Iterator[Array[Long]] {
-            private var pending: (Int, Long, Long) =
-              if (it.hasNext) it.next() else null
-            override def hasNext: Boolean = pending != null
-            override def next(): Array[Long] = {
-              val (b0, k0, id0) = pending
-              val ids = scala.collection.mutable.ArrayBuffer[Long](id0)
-              pending = null
-              while (pending == null && it.hasNext) {
-                val r = it.next()
-                if (r._1 == b0 && r._2 == k0) ids += r._3 else pending = r
-              }
-              ids.toArray // ascending: input is sorted by (band, key, id)
-            }
-          }
-          groups.flatMap { ids =>
-            if (ids.length < 2 || ids.length > cap) Iterator.empty
-            else for {
-              i <- ids.indices.iterator
-              j <- (i + 1 until ids.length).iterator
-              if ids(i) != ids(j)
-            } yield (ids(i), ids(j))
-          }
-        }
-        .toDF("a", "b")
+      // salted keys: buckets in (saltBlockSize, maxBucketSize]. The hot-key
+      // dim is tiny by the definition of skew (<= totalRows/saltBlockSize
+      // keys) — no broadcast hint; AQE broadcasts when genuinely small.
+      val hotKeys = sized
+        .where(col("n") > saltBlockSize && col("n") <= maxBucketSize)
+        .select(col("band"), col("key"),
+          ceil(col("n") / lit(saltBlockSize.toDouble)).cast("int").as("nblocks"))
+      val cold = bandRows.join(hotKeys.select("band", "key"),
+        Seq("band", "key"), "left_anti")
+      val hotRows = bandRows.join(hotKeys, Seq("band", "key"))
+      groupEmitPairs(spark, cold, maxBucketSize)
+        .union(saltedPairs(spark, hotRows))
         .distinct()
     }
-    (pairs, hot)
+    (pairs, dropped)
+  }
+
+  /** One shuffle + sorted streaming group emission: memory is bounded by
+    * one bucket's id array (<= cap), never by its n^2 pair count.
+    */
+  private def groupEmitPairs(spark: SparkSession, bandRows: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    import spark.implicits._
+    val cap = maxBucketSize
+    bandRows
+      .repartition(col("band"), col("key"))
+      .sortWithinPartitions("band", "key", "id")
+      .select(col("band"), col("key"), col("id")).as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        // stream (band, key) groups off the sorted iterator, then emit
+        // each group's pairs lazily
+        val groups = new Iterator[Array[Long]] {
+          private var pending: (Int, Long, Long) =
+            if (it.hasNext) it.next() else null
+          override def hasNext: Boolean = pending != null
+          override def next(): Array[Long] = {
+            val (b0, k0, id0) = pending
+            val ids = scala.collection.mutable.ArrayBuffer[Long](id0)
+            pending = null
+            while (pending == null && it.hasNext) {
+              val r = it.next()
+              if (r._1 == b0 && r._2 == k0) ids += r._3 else pending = r
+            }
+            ids.toArray // ascending: input is sorted by (band, key, id)
+          }
+        }
+        groups.flatMap { ids =>
+          if (ids.length < 2 || ids.length > cap) Iterator.empty
+          else for {
+            i <- ids.indices.iterator
+            j <- (i + 1 until ids.length).iterator
+            if ids(i) != ids(j)
+          } yield (ids(i), ids(j))
+        }
+      }
+      .toDF("a", "b")
+  }
+
+  /** Deterministic block of an id within a B-block bucket decomposition
+    * (64-bit fmix avalanche, so consecutive/correlated ids spread evenly).
+    */
+  private[pipeline] def blockOf(id: Long, nBlocks: Int): Int = {
+    var k = id
+    k ^= k >>> 33; k *= 0xFF51AFD7ED558CCDL
+    k ^= k >>> 33; k *= 0xC4CEB9FE1A85EC53L
+    k ^= k >>> 33
+    java.lang.Math.floorMod(k, nBlocks.toLong).toInt
+  }
+
+  /** Pair emission for salted hot buckets. Input: (band, key, id, nblocks)
+    * rows of the hot buckets only. Each id lands in block blk = blockOf(id)
+    * and is replicated to the nblocks salted groups that may pair it; group
+    * (gi < gj) cross-products its two blocks, group (g, g) emits the
+    * triangle of block g — each bucket pair appears in exactly ONE group.
+    */
+  private[pipeline] def saltedPairs(spark: SparkSession,
+      hotRows: DataFrame): DataFrame = {
+    import spark.implicits._
+    saltedGroups(spark, hotRows)
+      .repartition(col("band"), col("key"), col("gi"), col("gj"))
+      .sortWithinPartitions("band", "key", "gi", "gj", "blk", "id")
+      .as[(Int, Long, Int, Int, Int, Long)]
+      .mapPartitions { it =>
+        // stream (band, key, gi, gj) groups; rows sorted by (blk, id) split
+        // each group into its gi-block prefix and gj-block suffix
+        new Iterator[(Long, Long)] {
+          private var pending: (Int, Long, Int, Int, Int, Long) =
+            if (it.hasNext) it.next() else null
+          private var out: Iterator[(Long, Long)] = Iterator.empty
+
+          private def advance(): Unit = {
+            while (!out.hasNext && pending != null) {
+              val (b0, k0, gi, gj, _, _) = pending
+              val left = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val right = scala.collection.mutable.ArrayBuffer.empty[Long]
+              while (pending != null && pending._1 == b0 && pending._2 == k0
+                  && pending._3 == gi && pending._4 == gj) {
+                if (pending._5 == gi) left += pending._6 else right += pending._6
+                pending = if (it.hasNext) it.next() else null
+              }
+              out =
+                if (gi == gj) // triangle within one block (ids ascending)
+                  for {
+                    i <- left.indices.iterator
+                    j <- (i + 1 until left.length).iterator
+                    if left(i) != left(j)
+                  } yield (left(i), left(j))
+                else // cross product of the two blocks, canonical order
+                  for {
+                    i <- left.indices.iterator
+                    j <- right.indices.iterator
+                    if left(i) != right(j)
+                  } yield (math.min(left(i), right(j)),
+                           math.max(left(i), right(j)))
+            }
+          }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): (Long, Long) = { advance(); out.next() }
+        }
+      }
+      .toDF("a", "b")
+  }
+
+  /** The salted replication (exposed for the skew PlanSpec): each hot row
+    * becomes nblocks rows (band, key, gi, gj, blk, id).
+    */
+  private[pipeline] def saltedGroups(spark: SparkSession,
+      hotRows: DataFrame): DataFrame = {
+    import spark.implicits._
+    hotRows.select(col("band"), col("key"), col("id"), col("nblocks"))
+      .as[(Int, Long, Long, Int)]
+      .flatMap { case (band, key, id, nb) =>
+        val blk = blockOf(id, nb)
+        (0 until nb).iterator.map { g =>
+          (band, key, math.min(blk, g), math.max(blk, g), blk, id)
+        }
+      }
+      .toDF("band", "key", "gi", "gj", "blk", "id")
   }
 
   /** Stage 3 — exact-Jaccard verification (north-rule addition; absent in
@@ -182,7 +307,21 @@ object DedupPipeline {
     */
   def verifyPairs(spark: SparkSession, pairsIn: DataFrame, docs: DataFrame,
       params: MinHashParams, threshold: Double): DataFrame = {
-    if (threshold <= 0.0) return pairsIn
+    val (df, _) = verifyPairsManaged(spark, pairsIn, docs, params, threshold)
+    df
+    // NOTE: two intermediate tables stay cached until session end; callers
+    // holding a long-lived session should use [[verifyPairsManaged]] and
+    // invoke the cleanup once the result is materialized (as [[run]] does).
+  }
+
+  /** As [[verifyPairs]], returning an unpersist handle the caller invokes
+    * AFTER the result has been materialized (stage write / checkpoint /
+    * collect) — unpersisting earlier silently recomputes both join sides.
+    */
+  def verifyPairsManaged(spark: SparkSession, pairsIn: DataFrame,
+      docs: DataFrame, params: MinHashParams, threshold: Double)
+      : (DataFrame, () => Unit) = {
+    if (threshold <= 0.0) return (pairsIn, () => ())
     // pairsIn feeds three subtrees (ids + the pair join) — persist; in
     // [[run]] it is already a stage table, this protects direct callers.
     val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel
@@ -199,11 +338,12 @@ object DedupPipeline {
       val i = Shingler.intersectionSize(x, y)
       i >= tau * (x.length + y.length - i)
     })
-    pairs
+    val out = pairs
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
       .where(keep(col("sha"), col("shb")))
       .select("a", "b")
+    (out, () => { pairs.unpersist(); sets.unpersist(); () })
   }
 
   /** Full run. Returns assignments (id, url, cluster, cluster_size). */
@@ -218,12 +358,23 @@ object DedupPipeline {
     if (cfg.outputDir.isEmpty)
       docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    if (cfg.checkIdCollisions) {
+      val r = docs.agg(count(lit(1)), countDistinct(col("id"))).head()
+      val (total, uniq) = (r.getLong(0), r.getLong(1))
+      if (total != uniq)
+        throw new IllegalStateException(
+          s"xxhash64(url) id collisions detected: $total docs, $uniq " +
+          "distinct ids — re-salt the id expression in extractDocs")
+      io.note("docs", Map("id_collisions" -> 0L, "docs" -> total))
+    }
+
     val bandRows = io.stage("signatures") {
       signatures(spark, docs, cfg.params)
     }
 
     val rawPairs = io.stage("pairs_raw") {
-      val (p, hot) = candidatePairs(spark, bandRows, cfg.maxBucketSize)
+      val (p, hot) = candidatePairs(spark, bandRows, cfg.maxBucketSize,
+        saltBlockSize = cfg.saltBlockSize)
       if (cfg.maxBucketSize != Int.MaxValue) {
         val dropped = hot.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
         io.note("pairs_raw", Map("dropped_bucket_rows" -> dropped))
@@ -231,9 +382,9 @@ object DedupPipeline {
       p
     }
 
-    val verified = io.stage("pairs") {
-      verifyPairs(spark, rawPairs, docs, cfg.params, cfg.jaccardThreshold)
-    }
+    val (verified0, verifyCleanup) = verifyPairsManaged(
+      spark, rawPairs, docs, cfg.params, cfg.jaccardThreshold)
+    val verified = io.stage("pairs")(verified0)
 
     val pairs =
       if (cfg.shinglingIterations <= 1) verified
@@ -246,6 +397,10 @@ object DedupPipeline {
     val components = io.stage("components") {
       ConnectedComponents.run(spark, pairs, docs.select("id"))
     }
+    // the pairs have been fully materialized by now (stage write, or the
+    // eager localCheckpoint of CC's first iteration) — release the verify
+    // stage's cached intermediates
+    verifyCleanup()
     // components feeds both the size aggregation and the url join
     if (cfg.outputDir.isEmpty)
       components.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

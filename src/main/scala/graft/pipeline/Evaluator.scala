@@ -10,14 +10,20 @@ import org.apache.spark.sql.functions._
   * (`:150-164`) → per-cluster best F1, size-weighted (`:457-511`,`:938-977`)
   * → per-side sums and averaging (`:186-189`).
   *
-  * Both inputs: DataFrame(member: long, label: long). Cluster sizes are
-  * small dims relative to membership tables, so the size joins broadcast.
+  * Both inputs: DataFrame(member: long, label: long). The cluster-size
+  * joins carry NO broadcast hint: at 10^12 members the label dimension can
+  * be 10^9+ rows, and a forced broadcast OOMs; AQE broadcasts at runtime
+  * when a side is genuinely small (asserted in PlanSpec) and shuffles
+  * otherwise.
   */
 object Evaluator {
 
   final case class Scores(fX: Double, fY: Double, avg: Double)
 
-  def fscore(spark: SparkSession, x: DataFrame, y: DataFrame): Scores = {
+  /** The per-(lx, ly) contingency with precision/recall/F1 — exposed so the
+    * physical join shape is testable (PlanSpec).
+    */
+  def contingency(x: DataFrame, y: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val sx = x.groupBy(col("label").as("lx")).agg(count(lit(1)).as("nx"))
     val sy = y.groupBy(col("label").as("ly")).agg(count(lit(1)).as("ny"))
 
@@ -26,13 +32,18 @@ object Evaluator {
     val inter = joined.groupBy("lx", "ly").agg(count(lit(1)).as("i"))
 
     val scored = inter
-      .join(broadcast(sx), "lx")
-      .join(broadcast(sy), "ly")
+      .join(sx, "lx")
+      .join(sy, "ly")
       .withColumn("p", col("i") / col("nx"))
       .withColumn("r", col("i") / col("ny"))
       .withColumn("f1",
         when(col("p") + col("r") === 0.0, 0.0)
           .otherwise(lit(2) * col("p") * col("r") / (col("p") + col("r"))))
+    (scored, sx, sy)
+  }
+
+  def fscore(spark: SparkSession, x: DataFrame, y: DataFrame): Scores = {
+    val (scored, sx, sy) = contingency(x, y)
 
     def side(groupCol: String, sizes: DataFrame, sizeCol: String): Double = {
       val best = scored.groupBy(groupCol).agg(max(col("f1")).as("best"))

@@ -38,10 +38,28 @@ object HashSweep {
       baseParams: MinHashParams = MinHashParams(numHashes = 1)
   ): SweepResult = {
     require(startHashes > delta, "test must have more hashes than base")
+    require(startHashes <= maxHashes,
+      s"startHashes=$startHashes > maxHashes=$maxHashes: nothing to sweep")
     val docs = DedupPipeline.extractDocs(pages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var materialized = 0
+    // restart durability: band rows are appended per hash index, so the
+    // already-materialized prefix must be derived from the existing
+    // `band=<i>` partitions — a killed sweep restarted with an in-memory
+    // zero would append DUPLICATE band rows for indices it already wrote
+    var materialized = {
+      val dirs = Option(new java.io.File(bandDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("band="))
+        .map(_.getName.stripPrefix("band=").toInt)
+      if (dirs.isEmpty) 0
+      else {
+        val maxBand = dirs.max
+        require(dirs.toSet == (0 to maxBand).toSet,
+          s"bandDir $bandDir has a non-contiguous band prefix; clean it")
+        maxBand + 1
+      }
+    }
     def appendBands(until: Int): Unit = if (until > materialized) {
       val from = materialized
       val p = baseParams.copy(numHashes = until)

@@ -39,7 +39,10 @@ object StreamingDedup {
       maxBucket: Int = 1024, stateTtlMs: Long = 24L * 3600 * 1000)
       : Dataset[CandidatePair] = {
     import spark.implicits._
-    val bandsUdf = udf((t: String) => new MinHasher(params).bands(t))
+    // one hasher instance per task (serialized with the closure, buffers
+    // reused across rows) — same shape as DedupPipeline.signatures
+    val hasher = new MinHasher(params)
+    val bandsUdf = udf((t: String) => hasher.bands(t))
     val bands = pages
       .select(xxhash64(col("url")).as("id"),
         explode(bandsUdf(DedupPipeline.normalizeAZ(col("text")))).as("bk"))

@@ -73,6 +73,13 @@ class MinHasherSpec extends AnyFunSuite {
     }
   }
 
+  test("kmerLen that would overflow 64-bit hash arithmetic fails loudly") {
+    // with the default randoms (a, b < 2^31) k = 7 is the last safe length
+    MinHashParams(kmerLen = 7) // must construct fine
+    val ex = intercept[IllegalArgumentException] { MinHashParams(kmerLen = 8) }
+    assert(ex.getMessage.contains("overflow"))
+  }
+
   test("identical texts produce identical bands; sketch is deterministic") {
     val p = params(h = 8, c = 2, k = 6)
     val a = new MinHasher(p)

@@ -57,6 +57,16 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.toSet == Set(0L))
   }
 
+  test("non-convergence within maxIter throws instead of returning wrong labels") {
+    val nodes = (0L to 40L).toSeq
+    val edges = nodes.sliding(2).map(s => (s(0), s(1))).toSeq
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.run(spark, edges.toDF("a", "b"), nodes.toDF("id"),
+        maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("star around a large id still labels by min") {
     val nodes = Seq(100L, 1L, 2L, 3L, 4L)
     val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L))

@@ -23,7 +23,8 @@ class DedupPipelineSpec extends AnyFunSuite with SparkSpec {
     val want = SerialOracle.run(oracleDocs, cfg.params, cfg.jaccardThreshold)
 
     val bandRows = DedupPipeline.signatures(spark, docs, cfg.params)
-    val (rawPairs, _) = DedupPipeline.candidatePairs(spark, bandRows, cfg.maxBucketSize)
+    val (rawPairs, _) = DedupPipeline.candidatePairs(spark, bandRows,
+      cfg.maxBucketSize, saltBlockSize = cfg.saltBlockSize)
     val pairs = DedupPipeline.verifyPairs(spark, rawPairs, docs, cfg.params,
       cfg.jaccardThreshold)
     val gotPairs = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -81,6 +82,51 @@ class DedupPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(hot0.isEmpty)
     assert(hot.count() > 0, "expected hot buckets above the cap")
     assert(capped.count() < unCapped.count())
+  }
+
+  test("salted hot-band pairs are LOSSLESS and spread over multiple groups") {
+    import org.apache.spark.sql.functions._
+    val pages = PagesGen.skew(hot = 120, background = 200)
+    val df = Pages.toDS(spark, pages).toDF()
+    val docs = DedupPipeline.extractDocs(df)
+    val bandRows = DedupPipeline.signatures(spark, docs, p8)
+      .persist()
+    val (unCapped, _) =
+      DedupPipeline.candidatePairs(spark, bandRows, Int.MaxValue)
+    val (salted, dropped) = DedupPipeline.candidatePairs(spark, bandRows,
+      Int.MaxValue, saltBlockSize = 16)
+    assert(dropped.isEmpty, "salting must not drop anything")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(salted) == pairSet(unCapped),
+      "salted pair set must equal the uncapped oracle exactly")
+
+    // the hot bucket must decompose into >1 salted group with bounded
+    // membership, i.e. its n^2 emission spans multiple independent tasks
+    val sized = bandRows.groupBy("band", "key").agg(count(lit(1)).as("n"))
+    val hotKeys = sized.where(col("n") > 16)
+      .select(col("band"), col("key"),
+        ceil(col("n") / lit(16.0)).cast("int").as("nblocks"))
+    assert(hotKeys.count() > 0, "fixture must actually produce hot buckets")
+    val hotRows = bandRows.join(hotKeys, Seq("band", "key"))
+    val groups = DedupPipeline.saltedGroups(spark, hotRows)
+      .groupBy("band", "key", "gi", "gj").agg(count(lit(1)).as("m"))
+      .persist()
+    val perBucket = groups.groupBy("band", "key")
+      .agg(count(lit(1)).as("ngroups"), max(col("m")).as("maxm"))
+      .collect()
+    assert(perBucket.forall(_.getLong(2) > 1),
+      "every hot bucket must span > 1 salted group")
+    val bucketN = sized.where(col("n") > 16).agg(max(col("n"))).head().getLong(0)
+    assert(perBucket.forall(_.getLong(3) < bucketN),
+      "no salted group may hold the whole hot bucket")
+    groups.unpersist()
+    bandRows.unpersist()
+  }
+
+  test("pipeline with default salting == oracle on the skew corpus") {
+    compare(PagesGen.skew(hot = 80, background = 150),
+      DedupConfig(params = p8, saltBlockSize = 16))
   }
 
   test("resume: stage outputs are reused and final result is identical") {

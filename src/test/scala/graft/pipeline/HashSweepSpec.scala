@@ -47,6 +47,37 @@ class HashSweepSpec extends AnyFunSuite with SparkSpec {
     assert(got == want, "incremental sweep diverged from from-scratch run")
   }
 
+  test("killed-and-restarted sweep reuses the band prefix without duplicates") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep3").toString
+    val pages = Pages.toDS(spark, PagesGen.micro).toDF()
+    // first run materializes bands 0..6
+    HashSweep.run(spark, pages, bandDir = dir,
+      startHashes = 5, delta = 3, maxHashes = 7, threshold = 2.0)
+    val rowsAfterFirst = spark.read.parquet(dir).count()
+    val perBand = spark.read.parquet(dir).groupBy("band")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // "restart": a new run over the same bandDir must detect the existing
+    // band=0..6 prefix and append NOTHING for those indices
+    HashSweep.run(spark, pages, bandDir = dir,
+      startHashes = 5, delta = 3, maxHashes = 7, threshold = 2.0)
+    val perBand2 = spark.read.parquet(dir).groupBy("band")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perBand2 == perBand, "restart duplicated band rows")
+    assert(spark.read.parquet(dir).count() == rowsAfterFirst)
+  }
+
+  test("startHashes > maxHashes fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep4").toString
+    val pages = Pages.toDS(spark, PagesGen.micro).toDF()
+    intercept[IllegalArgumentException] {
+      HashSweep.run(spark, pages, bandDir = dir,
+        startHashes = 9, delta = 3, maxHashes = 7)
+    }
+  }
+
   test("sweep records increasing hash counts and stops at threshold or max") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sweep2").toString
     val pages = Pages.toDS(spark, PagesGen.micro).toDF()

@@ -81,12 +81,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
-  test("evaluator cluster-size joins broadcast (small dims)") {
+  test("evaluator size joins: broadcast when small, shuffled when forced big") {
     import spark.implicits._
     val x = (1L to 100L).map(i => (i, i % 7)).toDF("member", "label")
     val y = (1L to 100L).map(i => (i, i % 5)).toDF("member", "label")
-    // fscore internally broadcasts sx/sy; just assert it executes and the
-    // join side is broadcast in the scored plan
+
+    // small dims → the optimizer (not a forced hint) picks broadcast joins
+    val (scoredSmall, _, _) = Evaluator.contingency(x, y)
+    val planSmall = scoredSmall.queryExecution.executedPlan.toString
+    assert(planSmall.contains("BroadcastHashJoin"),
+      s"expected AQE/CBO broadcast for tiny size dims in:\n$planSmall")
+
+    // at scale the size dims can be 10^9+ labels: there must be no FORCED
+    // broadcast — with broadcast disabled the plan must fall back to a
+    // shuffled join rather than OOM the driver
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (scoredBig, _, _) = Evaluator.contingency(x, y)
+      val planBig = scoredBig.queryExecution.executedPlan.toString
+      assert(!planBig.contains("BroadcastHashJoin"),
+        s"size-dim broadcast is forced (scale hazard) in:\n$planBig")
+      assert(planBig.contains("SortMergeJoin") || planBig.contains("ShuffledHashJoin"),
+        s"expected shuffled join fallback in:\n$planBig")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+
     val s = Evaluator.fscore(spark, x, y)
     assert(s.avg > 0.0 && s.avg <= 1.0)
   }
