@@ -48,8 +48,10 @@ object SparkEntry {
     "q20_binary_meta" -> ((s, d) => T.binaryMeta(s, d)),
     "q21_hourly_events" -> ((s, d) => T.hourlyEvents(s, d)),
     // full pages pipeline over the documents table mapped to the web-page
-    // schema — no SQL oracle (driver records rows-only); value-exactness of
-    // every stage is covered by q02-q06 and the sbt test oracle.
+    // schema (html round-trip, xxhash64 ids, LSH, CC) — the output is
+    // re-keyed to integer doc_ids (cluster label = min doc_id in the
+    // cluster, which is invariant to the internal id space) so the whole
+    // composed pipeline gets a value-exact DuckDB oracle.
     "q22_pages_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val pages = graft.ops.Ops.table(s, d, "documents").select(
@@ -58,9 +60,16 @@ object SparkEntry {
         encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")),
           "UTF-8").as("html"),
         col("text"), col("lang"))
-      DedupPipeline.run(s, pages,
-        DedupConfig(params = MinHashParams(numHashes = 8)))
-        .orderBy("url")
+      val out = DedupPipeline.run(s, pages,
+        DedupConfig(params = MinHashParams(numHashes = graft.ops.Ops.DocNumHashes)))
+      val withDoc = out.select(
+        expr("cast(substring(url, 7) as bigint)").as("doc_id"),
+        col("cluster"), col("cluster_size"))
+      val rep = withDoc.groupBy("cluster")
+        .agg(min(col("doc_id")).as("cluster_doc_id"))
+      withDoc.join(rep, "cluster")
+        .select(col("doc_id"), col("cluster_doc_id"), col("cluster_size"))
+        .orderBy("doc_id")
     })
   )
 
@@ -85,6 +94,7 @@ object SparkEntry {
     "q18_embedding_lsh" -> E.lshBucketsSql,
     "q19_ann_bucketed" -> E.annBucketedSql,
     "q20_binary_meta" -> T.binaryMetaSql,
-    "q21_hourly_events" -> T.hourlyEventsSql
+    "q21_hourly_events" -> T.hourlyEventsSql,
+    "q22_pages_pipeline" -> M.pagesPipelineSql
   )
 }

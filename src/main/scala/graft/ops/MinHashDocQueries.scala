@@ -302,4 +302,15 @@ ORDER BY side, label"""
   val exactDedupSql: String = """
 SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
 FROM documents ORDER BY doc_id"""
+
+  /** Oracle for the COMPOSED pages pipeline (q22): the same CTE chain as
+    * q02→q04 (signatures → LSH pairs → recursive CC) plus per-cluster
+    * sizes, labels re-keyed to min doc_id — invariant to the pipeline's
+    * internal xxhash64(url) id space, so the compare is value-exact.
+    */
+  val pagesPipelineSql: String = s"""WITH RECURSIVE $clustersCtes,
+sizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id AS cluster_doc_id, s.n AS cluster_size
+FROM clusters c JOIN sizes s USING (cluster_id)
+ORDER BY c.doc_id"""
 }

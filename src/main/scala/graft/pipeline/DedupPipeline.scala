@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   *     spread a hot band across tasks; bucket sizes above `maxBucketSize`
   *     are dropped *before* the join with the drop count recorded in
   *     metrics (the reference just eats the n² blowup, `:750-798`);
-  *   - every stage can persist to `outputDir/<stage>` and is skipped on
-  *     resume when its `_SUCCESS` marker exists (the reference's
-  *     skip-if-output-exists memoization, `minhash_clustering.cpp:175-190`).
+  *   - every stage can persist to a snapshot table `outputDir/<stage>`
+  *     ([[SnapshotCatalog]] — atomic commit, per-file lineage metrics, time
+  *     travel) and is skipped on resume when a committed snapshot exists
+  *     (the reference's skip-if-output-exists memoization,
+  *     `minhash_clustering.cpp:175-190`, upgraded to snapshot semantics).
   */
 final case class DedupConfig(
     params: MinHashParams = MinHashParams(),
@@ -418,12 +420,18 @@ object DedupPipeline {
     }
   }
 
-  /** Stage persistence + resume seam. Parquet here; on a production cluster
-    * this is where Iceberg snapshot-per-stage plugs in (same layout:
-    * `<root>/<stage>` + completion marker + metrics sidecar).
+  /** Stage persistence + resume seam, backed by [[SnapshotCatalog]]: every
+    * stage commit is an atomic snapshot with per-file lineage metrics, a
+    * resumed run reads the stage's latest snapshot, and earlier snapshots
+    * stay readable (time travel). The catalog implements the Iceberg table
+    * contract directly (the Iceberg runtime jar is not in this sandbox);
+    * on a cluster the same seam becomes `df.writeTo(...)` — see
+    * [[SnapshotCatalog]]'s scaladoc for the one-line mapping.
     */
   final class StageIO(spark: SparkSession, root: Option[String]) {
     private val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
+    val catalog: Option[SnapshotCatalog] =
+      root.map(new SnapshotCatalog(spark, _))
 
     def note(stage: String, extra: Map[String, Long]): Unit =
       metrics += StageMetrics(s"$stage/extra", 0L, 0L, extra)
@@ -431,17 +439,21 @@ object DedupPipeline {
     def stage(name: String)(build: => DataFrame): DataFrame = root match {
       case None => build
       case Some(dir) =>
-        val path = s"$dir/$name"
-        val done = new java.io.File(s"$path/_SUCCESS").exists()
-        if (done) spark.read.parquet(path)
-        else {
-          val t0 = System.nanoTime()
-          build.write.mode("overwrite").parquet(path)
-          val df = spark.read.parquet(path)
-          val ms = (System.nanoTime() - t0) / 1000000
-          metrics += StageMetrics(name, df.count(), ms)
-          writeMetrics(dir)
-          df
+        val cat = catalog.get
+        cat.readLatest(name) match {
+          case Some(df) => df // resume: stage already committed
+          case None =>
+            val t0 = System.nanoTime()
+            val snap = cat.commit(name, build)
+            val ms = (System.nanoTime() - t0) / 1000000
+            // row count comes from the manifest's parquet footers — no
+            // extra count() pass over the stage output
+            metrics += StageMetrics(name, snap.rows, ms, Map(
+              "snapshot_version" -> snap.version.toLong,
+              "data_files" -> snap.files.size.toLong,
+              "bytes" -> snap.bytes))
+            writeMetrics(dir)
+            cat.read(name, snap.version)
         }
     }
 

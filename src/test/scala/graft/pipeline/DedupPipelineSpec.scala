@@ -137,10 +137,13 @@ class DedupPipelineSpec extends AnyFunSuite with SparkSpec {
     val first = DedupPipeline.run(spark, df, cfg).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
 
-    // wipe the final stage only; resume must rebuild it from earlier stages
-    val clustersDir = new java.io.File(s"$dir/clusters")
-    clustersDir.listFiles().foreach(_.delete())
-    clustersDir.delete()
+    // wipe the final stage table only (recursively — it is a snapshot
+    // table: data/ + metadata/); resume must rebuild it from earlier stages
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+      f.delete()
+    }
+    rmRf(new java.io.File(s"$dir/clusters"))
     val resumed = DedupPipeline.run(spark, spark.emptyDataFrame, cfg).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
     assert(resumed == first)
