@@ -60,4 +60,33 @@ object Evaluator {
     val fY = side("ly", sy, "ny")
     Scores(fX, fY, (fX + fY) / 2)
   }
+
+  /** Distributed normalized mutual information (SURVEY.md A14, reference
+    * `fvalue_evaluator.cpp:200-365`): 2*I(X;Y) / (H(X)+H(Y)) over the
+    * shared-member contingency. Marginals are derived from the joint (i.e.
+    * over shared members only), matching [[graft.core.NMI.score]] exactly.
+    */
+  def nmi(spark: SparkSession, x: DataFrame, y: DataFrame): Double = {
+    val joined = x.select(col("member"), col("label").as("lx"))
+      .join(y.select(col("member"), col("label").as("ly")), "member")
+    val inter = joined.groupBy("lx", "ly").agg(count(lit(1)).as("i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRow = inter.agg(coalesce(sum(col("i")), lit(0L))).head()
+      val n = nRow.getLong(0).toDouble
+      if (n == 0) return 0.0
+      val nx = inter.groupBy("lx").agg(sum(col("i")).as("nx"))
+      val ny = inter.groupBy("ly").agg(sum(col("i")).as("ny"))
+      def entropy(m: DataFrame, c: String): Double =
+        -m.select(sum(col(c) / n * log(col(c) / n))).head().getDouble(0)
+      val hx = entropy(nx, "nx")
+      val hy = entropy(ny, "ny")
+      if (hx == 0.0 && hy == 0.0) return 1.0
+      val mi = inter.join(nx, "lx").join(ny, "ly")
+        .select(sum((col("i") / n) *
+          log(col("i") * n / (col("nx") * col("ny")))))
+        .head().getDouble(0)
+      2.0 * mi / (hx + hy)
+    } finally inter.unpersist()
+  }
 }

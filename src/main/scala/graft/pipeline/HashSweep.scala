@@ -26,6 +26,12 @@ object HashSweep {
 
   /** @param bandDir stage dir for the incremental band-row table
     *                (written as bandDir/h=<i>/ per hash index)
+    * @param shinglingIterations 1 = k-mer round only; 2 = add the vertex
+    *                round per step (reference default), with per-vertex
+    *                sketches updated incrementally across steps via
+    *                [[VertexSketchCache]] (I2) — one cache per trajectory
+    *                (test at h, base at h-delta), persisted under
+    *                `<bandDir>.vertex`
     */
   def run(
       spark: SparkSession,
@@ -35,8 +41,12 @@ object HashSweep {
       delta: Int = 40,
       maxHashes: Int = 2000,
       threshold: Double = 0.9,
-      baseParams: MinHashParams = MinHashParams(numHashes = 1)
+      baseParams: MinHashParams = MinHashParams(numHashes = 1),
+      shinglingIterations: Int = 1
   ): SweepResult = {
+    require(shinglingIterations == 1 || shinglingIterations == 2,
+      "the incremental vertex cache supports one densification round " +
+      "(the reference's default shingling_iterations = 2)")
     require(startHashes > delta, "test must have more hashes than base")
     require(startHashes <= maxHashes,
       s"startHashes=$startHashes > maxHashes=$maxHashes: nothing to sweep")
@@ -73,9 +83,28 @@ object HashSweep {
       materialized = until
     }
 
-    def clusterWith(numBands: Int): DataFrame = {
+    // one incremental vertex cache per clustering trajectory (I2): each is
+    // advanced with a monotone-growing pair set as its hash count climbs
+    val vertexCat =
+      if (shinglingIterations < 2) None
+      else Some(new SnapshotCatalog(spark, s"$bandDir.vertex"))
+    val caches = vertexCat.map(cat =>
+      Map("test" -> new VertexSketchCache(spark, cat, "test", baseParams),
+          "base" -> new VertexSketchCache(spark, cat, "base", baseParams)))
+
+    def clusterWith(numBands: Int, trajectory: String): DataFrame = {
       val bands = spark.read.parquet(bandDir).where(col("band") < numBands)
-      val (pairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue)
+      val (kmerPairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue)
+      val pairs = caches match {
+        case None => kmerPairs
+        case Some(cs) =>
+          // kmer pairs feed the cache delta AND the final union — checkpoint
+          // once so the LSH join runs once per step
+          val kp = kmerPairs.localCheckpoint(true)
+          val vb = cs(trajectory).advance(kp, numBands)
+          val (extra, _) = DedupPipeline.candidatePairs(spark, vb, Int.MaxValue)
+          kp.union(extra).distinct()
+      }
       ConnectedComponents.run(spark, pairs, docs.select("id"))
         .select(col("id").as("member"), col("component").as("label"))
     }
@@ -86,9 +115,9 @@ object HashSweep {
     var last: DataFrame = null
     while (f < threshold && h <= maxHashes) {
       appendBands(h)
-      val test = clusterWith(h)
+      val test = clusterWith(h, "test")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val base = clusterWith(h - delta)
+      val base = clusterWith(h - delta, "base")
       f = Evaluator.fscore(spark, test, base).avg
       val n = test.select("label").distinct().count()
       steps += SweepStep(h, f, n)

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Min-label propagation connected components — the reference's primary CC
+  * loop (SURVEY.md A7, `/root/reference/src/
+  * shingling_cluster_generator_optimized.cpp:1035-1127,1350-1375`): every
+  * node repeatedly adopts the minimum label in its closed neighborhood
+  * until a fixpoint.
+  *
+  * O(diameter) rounds vs large/small-star's O(log^2 n) — kept as the
+  * reference-faithful CROSS-CHECK of [[ConnectedComponents]] (the
+  * production path), exactly the role the reference's own two CC codepaths
+  * play against each other.
+  */
+object LabelPropagation {
+
+  /** @return DataFrame(id, component) — component = min member id. */
+  def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 200): DataFrame = {
+    val directed = edges
+      .where(col("a") =!= col("b"))
+      .select(col("a").as("u"), col("b").as("v"))
+      .union(edges.where(col("a") =!= col("b"))
+        .select(col("b").as("u"), col("a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = nodes.select(col("id").cast("long"))
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label over the closed neighborhood: each node pulls its
+      // neighbors' labels, keeps the smallest including its own
+      val pulled = directed
+        .join(labels.select(col("id").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("nl")).as("pulled"))
+      val next = labels
+        .join(pulled, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("pulled"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"label propagation did not converge within $maxIter rounds")
+    labels.select(col("id"), col("label").as("component"))
+  }
+}

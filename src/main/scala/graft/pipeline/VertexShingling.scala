@@ -21,22 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object VertexShingling {
 
-  /** c minima of h_i over a sorted distinct neighbor-id array, packed band
-    * keys; gate: |N(u)| >= c (the reference's emit gate `:680` applied to
-    * the neighbor multiset — deduped, so a set here).
+  /** c minima of h_i, i in [from, until), over a distinct neighbor-id
+    * array — the raw (unpacked) sketch kernel, shared by the one-shot
+    * vertex round and the incremental cache ([[VertexSketchCache]], the
+    * reference's persistent per-vertex memo `:853-948`,
+    * `shingling_toolbox.h:22-24`). floorMod arithmetic because synthetic
+    * node ids may be negative (documented deviation, SURVEY.md §7).
+    * Returns a flattened (until-from)*c array, ascending per hash block.
     */
-  def vertexBands(params: MinHashParams, neighbors: Array[Long]): Array[(Int, Long)] = {
+  def vertexMinimaRange(params: MinHashParams, neighbors: Array[Long],
+      from: Int, until: Int): Array[Long] = {
     val c = params.bandWidth
-    if (neighbors.length < c) return Array.empty
-    val h = params.numHashes
-    val buf = new Array[Long](h * c)
+    val n = until - from
+    val buf = new Array[Long](n * c)
     java.util.Arrays.fill(buf, Long.MaxValue)
     var p = 0
     while (p < neighbors.length) {
       val x = neighbors(p)
       var i = 0
-      while (i < h) {
-        val hv = java.lang.Math.floorMod(x * params.a(i) + params.b(i),
+      while (i < n) {
+        val hv = java.lang.Math.floorMod(x * params.a(from + i) + params.b(from + i),
           params.prime)
         val base = i * c
         var pos = base + c - 1
@@ -48,6 +52,18 @@ object VertexShingling {
       }
       p += 1
     }
+    buf
+  }
+
+  /** c minima of h_i over a sorted distinct neighbor-id array, packed band
+    * keys; gate: |N(u)| >= c (the reference's emit gate `:680` applied to
+    * the neighbor multiset — deduped, so a set here).
+    */
+  def vertexBands(params: MinHashParams, neighbors: Array[Long]): Array[(Int, Long)] = {
+    val c = params.bandWidth
+    if (neighbors.length < c) return Array.empty
+    val h = params.numHashes
+    val buf = vertexMinimaRange(params, neighbors, 0, h)
     val out = new Array[(Int, Long)](h)
     var i = 0
     while (i < h) {
@@ -60,7 +76,16 @@ object VertexShingling {
 
   /** edges (a, b) -> extra candidate pairs from neighbor-set banding. */
   def extraPairs(spark: SparkSession, edges: DataFrame,
-      params: MinHashParams, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      params: MinHashParams, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    DedupPipeline.candidatePairs(spark,
+      vertexBandRows(spark, edges, params), maxBucketSize)._1
+
+  /** Vertex band rows (id, band, key) from a one-shot full re-sketch of
+    * every node's neighbor set — the non-incremental form (the cache in
+    * [[VertexSketchCache]] must produce exactly these rows).
+    */
+  def vertexBandRows(spark: SparkSession, edges: DataFrame,
+      params: MinHashParams): DataFrame = {
     import spark.implicits._
     val p = params
     val nbrs = edges.select(col("a").as("u"), col("b").as("v"))
@@ -101,7 +126,7 @@ object VertexShingling {
         }
       }
       .toDF("id", "band", "key")
-    DedupPipeline.candidatePairs(spark, bandRows, maxBucketSize)._1
+    bandRows
   }
 
   /** Round-1 edges ∪ vertex-round pairs, deduped — the graph CC runs on

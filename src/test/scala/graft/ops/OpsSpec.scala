@@ -44,6 +44,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       4L -> "unknown", 5L -> "unknown"))
   }
 
+  test("real image decode: ImageIO reads true dimensions and pixels") {
+    import spark.implicits._
+    // synthesize a genuine 20x10 PNG: left half black, right half white
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val payload = png(20, 10)
+    val meta = MultimodalOps.decode(payload)
+    assert(meta.format == "png" && meta.width == 20 && meta.height == 10)
+    assert(meta.nBytes == payload.length)
+
+    // the distributed pass agrees, and non-images fall back to the stub
+    val df = Seq((1L, payload), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = MultimodalOps.decodeMeta(spark, df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == (("png", 20, 10)))
+    assert(got(2L)._1 == "unknown")
+
+    // feature extraction: 2x2 grid — left column dark, right column bright
+    val feats = MultimodalOps.imageFeatures(spark, df, "doc_id", "payload", 2)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[scala.collection.Seq[Double]](1)).map(_.toSeq).orNull)
+      .toMap
+    val f = feats(1L)
+    assert(f.length == 4)
+    assert(f(0) < 1.0 && f(2) < 1.0, s"left cells should be black: $f")
+    assert(f(1) > 254.0 && f(3) > 254.0, s"right cells should be white: $f")
+    assert(feats(2L) == null, "non-image must yield null features")
+  }
+
   test("frame sampling emits n deterministic slices per row") {
     import spark.implicits._
     val df = Seq((1L, ("AB" * 100).getBytes("UTF-8"))).toDF("id", "payload")

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.{NMI, UnionFind}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the reference-coverage operators added in round 2:
+  * S5 ground-truth TSV reader, P4 rename projection, A7 label-propagation
+  * CC cross-check, A14 NMI, S7 METIS export.
+  */
+class CoverageOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def writeTsv(lines: Seq[String]): String = {
+    val f = java.nio.file.Files.createTempFile("graft-gt", ".tsv")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  // line format mirrors the Pfam layout the reference parses: member name
+  // in column 0, cluster name in column 5 (`fvalue_evaluator.cpp:664-666`)
+  private def line(seq: String, cluster: String): String =
+    s"$seq\tx1\tx2\tx3\tx4\t$cluster"
+
+  test("S5: wholeSeq ground truth — member sets, dups collapse, size filter") {
+    val path = writeTsv(Seq(
+      line("seqA", "PF1"), line("seqB", "PF1"), line("seqB", "PF1"),
+      line("seqC", "PF2"), line("seqD", "PF2"), line("seqE", "PF2"),
+      line("seqF", "PF3")))
+    val got = GroundTruth.readTsv(spark, path, minClusterSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set("seqA" -> "PF1", "seqB" -> "PF1",
+      "seqC" -> "PF2", "seqD" -> "PF2", "seqE" -> "PF2"))
+  }
+
+  test("S5: domain mode suffixes occurrences like the reference (`:664-668`)") {
+    val path = writeTsv(Seq(
+      line("seqA", "PF1"), line("seqA", "PF2"), line("seqB", "PF1")))
+    val got = GroundTruth.readTsv(spark, path, wholeSeq = false)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set("/seqA_1" -> "PF1", "/seqA_2" -> "PF2",
+      "/seqB_1" -> "PF1"))
+  }
+
+  test("S5 output feeds the evaluator: truth vs itself scores 1.0") {
+    val path = writeTsv(Seq(
+      line("a", "PF1"), line("b", "PF1"), line("c", "PF2")))
+    val t = GroundTruth.readTsv(spark, path)
+    val s = Evaluator.fscore(spark, t, t)
+    assert(math.abs(s.avg - 1.0) < 1e-12)
+  }
+
+  test("P4: rename strips the domain suffix (`:1129-1135`)") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("/seqA_1", "/seqB_12", "plain").toDF("m")
+      .select(GroundTruth.stripDomainSuffix(col("m")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("seqA", "seqB", "plain"))
+  }
+
+  test("A7: label propagation matches union-find and large/small-star") {
+    val rng = new scala.util.Random(37)
+    for (trial <- 0 until 3) {
+      val n = 20 + rng.nextInt(40)
+      val nodes = (0 until n).map(_ => rng.nextLong().abs % 10000).distinct
+      val edges = (0 until rng.nextInt(2 * n)).map { _ =>
+        (nodes(rng.nextInt(nodes.length)), nodes(rng.nextInt(nodes.length)))
+      }
+      val uf = new UnionFind
+      nodes.foreach(uf.add)
+      edges.foreach { case (a, b) => uf.union(a, b) }
+      val want = uf.componentsByMinLabel()
+      val got = LabelPropagation.run(spark,
+        edges.toDF("a", "b"), nodes.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+      val star = ConnectedComponents.run(spark,
+        edges.toDF("a", "b"), nodes.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == star, s"trial $trial cross-check")
+    }
+  }
+
+  test("A14: NMI — identical = 1, independent < 1, spark == serial") {
+    val am = (1L to 60L).map(i => i -> (i % 6)).toMap
+    val bm = (1L to 60L).map(i => i -> (i % 4 + 100)).toMap
+    assert(math.abs(NMI.score(am, am) - 1.0) < 1e-12)
+    val mixed = NMI.score(am, bm)
+    assert(mixed >= 0.0 && mixed < 1.0 + 1e-12)
+
+    def df(m: Map[Long, Long]) = m.toSeq.toDF("member", "label")
+    val sparkNmi = Evaluator.nmi(spark, df(am), df(bm))
+    assert(math.abs(sparkNmi - mixed) < 1e-9, s"$sparkNmi vs $mixed")
+    assert(math.abs(Evaluator.nmi(spark, df(am), df(am)) - 1.0) < 1e-9)
+  }
+
+  test("S7: METIS export writes header, adjacency, dictionary, edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-metis")
+    val f = dir.resolve("g.metis").toString
+    // graph: 10-20, 10-30, isolated 40 → numbering 10->1, 20->2, 30->3, 40->4
+    MetisExport.write(spark,
+      Seq((10L, 20L), (30L, 10L), (10L, 20L)).toDF("a", "b"),
+      Seq(10L, 20L, 30L, 40L).toDF("id"), f, edgeFile = true)
+    val main = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8")
+    assert(main == "4 2\n2 3\n1\n1\n\n", s"got:\n$main")
+    val dict = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f + "_dictionary")), "UTF-8")
+    assert(dict == "#1 10\n#2 20\n#3 30\n#4 40\n", s"got:\n$dict")
+    val edges = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f + "_edges")), "UTF-8")
+    assert(edges == "1 2\n1 3\n2 1\n3 1\n", s"got:\n$edges")
+  }
+}

@@ -47,6 +47,28 @@ class HashSweepSpec extends AnyFunSuite with SparkSpec {
     assert(got == want, "incremental sweep diverged from from-scratch run")
   }
 
+  test("sweep with shinglingIterations=2: incremental vertex cache == from-scratch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep-v").toString
+    val pages = Pages.toDS(spark, PagesGen.micro).toDF()
+    val result = HashSweep.run(spark, pages, bandDir = dir,
+      startHashes = 5, delta = 3, maxHashes = 8, threshold = 2.0, // sweep all
+      shinglingIterations = 2)
+    assert(result.steps.map(_.numHashes) == Seq(5, 6, 7, 8))
+
+    // from-scratch at the last h: kmer pairs + one full vertex round
+    val lastH = result.steps.last.numHashes
+    val params = MinHashParams(numHashes = lastH)
+    val docs = DedupPipeline.extractDocs(pages)
+    val bands = DedupPipeline.signatures(spark, docs, params)
+    val (kmerPairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue)
+    val all = VertexShingling.densify(spark, kmerPairs, params)
+    val want = ConnectedComponents.run(spark, all, docs.select("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = result.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "incremental vertex round diverged from from-scratch")
+  }
+
   test("killed-and-restarted sweep reuses the band prefix without duplicates") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-sweep3").toString
