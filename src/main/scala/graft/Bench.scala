@@ -22,7 +22,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val benchDocs = sys.env.getOrElse("BENCH_DOCS", "50000").toInt
+    // 500k default: large enough that fixed costs (JVM warm-up, stage
+    // commits, corpus generation) stop dominating docs_per_sec — at 50k the
+    // headline under-reported steady-state throughput ~10x (BASELINE.md)
+    val benchDocs = sys.env.getOrElse("BENCH_DOCS", "500000").toInt
     val benchHashes = sys.env.getOrElse("BENCH_HASHES", "16").toInt
     val runQueries = sys.env.getOrElse("BENCH_QUERIES", "true").toBoolean
     val spark = SparkSession.builder()

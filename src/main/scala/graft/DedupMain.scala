@@ -25,7 +25,8 @@ object DedupMain {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-dedup")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -79,4 +79,73 @@ object Shingler {
     }
     c
   }
+
+  // ---- compact set representation for the verification shuffle ----------
+  // The Jaccard-verify join ships each doc's shingle set once per candidate
+  // pair side; as Array[Long] that is ~8 bytes/shingle. Sorted-distinct
+  // values delta+varint encode to ~2-3 bytes/shingle (values < 2^31 for
+  // k <= 7, which MinHashParams enforces), shrinking the dominant shuffle
+  // ~3-4x. Layout: varint(count), then varint(first), varint(deltas...).
+
+  /** Delta-varint encoding of a sorted-distinct non-negative value array. */
+  def packSet(vs: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vs.length * 3 + 5)
+    def putVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    putVarint(vs.length.toLong)
+    var prev = 0L
+    var i = 0
+    while (i < vs.length) {
+      putVarint(vs(i) - prev) // first delta = first value (prev = 0)
+      prev = vs(i)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Streaming decoder over a packed set — no array materialization. */
+  private final class PackedCursor(buf: Array[Byte]) {
+    private var pos = 0
+    private def varint(): Long = {
+      var v = 0L; var shift = 0
+      var b = buf(pos); pos += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7FL) << shift; shift += 7
+        b = buf(pos); pos += 1
+      }
+      v | ((b & 0x7FL) << shift)
+    }
+    val count: Int = varint().toInt
+    private var emitted = 0
+    private var cur = 0L
+    def hasNext: Boolean = emitted < count
+    def next(): Long = { cur += varint(); emitted += 1; cur }
+  }
+
+  def packedSize(a: Array[Byte]): Int = new PackedCursor(a).count
+
+  /** |A∩B| over two packed sets — streaming merge, zero allocation. */
+  def intersectionSizePacked(a: Array[Byte], b: Array[Byte]): Int = {
+    val x = new PackedCursor(a)
+    val y = new PackedCursor(b)
+    var c = 0
+    if (!x.hasNext || !y.hasNext) return 0
+    var xv = x.next()
+    var yv = y.next()
+    var done = false
+    while (!done) {
+      if (xv == yv) {
+        c += 1
+        if (x.hasNext && y.hasNext) { xv = x.next(); yv = y.next() } else done = true
+      } else if (xv < yv) {
+        if (x.hasNext) xv = x.next() else done = true
+      } else {
+        if (y.hasNext) yv = y.next() else done = true
+      }
+    }
+    c
+  }
 }

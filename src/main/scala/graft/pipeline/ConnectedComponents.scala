@@ -25,24 +25,32 @@ object ConnectedComponents {
   /** @param edges DataFrame(a: long, b: long), any orientation, self-loops ok
     * @param nodes DataFrame(id: long) — the full node universe (isolated
     *              nodes get component = self)
+    * @param assumeCanonical input is already distinct with a < b (true for
+    *              every pipeline stage that feeds CC: pair generation emits
+    *              canonical pairs and verify/densify preserve them) — skips
+    *              a full canonicalize+distinct shuffle of the edge set
     * @return DataFrame(id: long, component: long), component = min member id
     */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
-      maxIter: Int = 64): DataFrame = {
+      maxIter: Int = 64, assumeCanonical: Boolean = false): DataFrame = {
     import spark.implicits._
-    var cur = edges
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    var cur = (if (assumeCanonical) edges.select(col("a"), col("b"))
+      else edges
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct())
       .as[(Long, Long)]
       .localCheckpoint(true)
 
+    val debug = sys.env.get("GRAFT_CC_DEBUG").exists(_.toBoolean)
     var prevSig: (Long, Long) = (-1L, 0L)
     var iter = 0
     var converged = cur.isEmpty
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       val next = smallStar(spark, largeStar(spark, cur)).localCheckpoint(true)
+      val t1 = System.nanoTime()
       // order-independent, overflow-free edge-set signature (edges are
       // distinct within groups; duplicate emissions across groups are
       // impossible for small-star and harmless-rare for large-star, and a
@@ -55,6 +63,8 @@ object ConnectedComponents {
       cur.unpersist()
       cur = next
       iter += 1
+      if (debug) System.err.println(
+        f"[cc] iter $iter: stars ${(t1 - t0) / 1e9}%.2fs sig ${(System.nanoTime() - t1) / 1e9}%.2fs edges ${sig._1}")
     }
     // a non-converged star forest is silently WRONG (nodes may carry a
     // non-minimal label) — fail loudly; large/small-star converges in

@@ -53,6 +53,10 @@ final case class DedupConfig(
       * still emitted, but no single task ever holds more than ~2x this many
       * ids). Int.MaxValue disables salting. See [[DedupPipeline.candidatePairs]]. */
     saltBlockSize: Int = 4096,
+    /** hot-bucket detection sample fraction: 1.0 = exact (full groupBy
+      * count); < 1 samples the band rows — shuffle-light at scale, both
+      * error modes lossless (see [[DedupPipeline.candidatePairs]]). */
+    saltDetectFraction: Double = 0.05,
     /** verify id = xxhash64(url) is collision-free (one count+countDistinct
       * pass over docs) and fail loudly otherwise. */
     checkIdCollisions: Boolean = true,
@@ -136,9 +140,12 @@ object DedupPipeline {
     */
   def candidatePairs(spark: SparkSession, bandRows: DataFrame,
       maxBucketSize: Int, selfJoin: Boolean = false,
-      saltBlockSize: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+      saltBlockSize: Int = Int.MaxValue,
+      saltDetectFraction: Double = 1.0): (DataFrame, DataFrame) = {
     require(saltBlockSize >= 2 || saltBlockSize == Int.MaxValue,
       s"saltBlockSize must be >= 2, got $saltBlockSize")
+    require(saltDetectFraction > 0.0 && saltDetectFraction <= 1.0,
+      s"saltDetectFraction must be in (0, 1], got $saltDetectFraction")
     val sized = bandRows.groupBy("band", "key").agg(count(lit(1)).as("n"))
     val dropped =
       if (maxBucketSize == Int.MaxValue) sized.where(lit(false))
@@ -159,19 +166,47 @@ object DedupPipeline {
     } else if (saltBlockSize == Int.MaxValue) {
       groupEmitPairs(spark, bandRows, maxBucketSize).distinct()
     } else {
-      // salted keys: buckets in (saltBlockSize, maxBucketSize]. The hot-key
-      // dim is tiny by the definition of skew (<= totalRows/saltBlockSize
-      // keys) — no broadcast hint; AQE broadcasts when genuinely small.
-      val hotKeys = sized
+      // Hot-key detection. At saltDetectFraction = 1 it is exact (a full
+      // groupBy count — a shuffle nearly as large as the band rows
+      // themselves, since most buckets are size 1-2 and map-side combine
+      // barely reduces). Below 1 a SAMPLE detects the hot keys: a bucket of
+      // n members gets ~n*f sample hits, so for n >> saltBlockSize and
+      // f*saltBlockSize >= ~50 detection is essentially certain, and both
+      // error modes stay LOSSLESS (a missed hot bucket group-emits in one
+      // task; a false positive is salted unnecessarily). This keeps the
+      // detection pass shuffle-light at 10^12 rows.
+      val detect =
+        if (saltDetectFraction >= 1.0) sized
+        else bandRows.sample(withReplacement = false, saltDetectFraction, 42L)
+          .groupBy("band", "key")
+          .agg((count(lit(1)) / saltDetectFraction).as("n"))
+      // the hot-key dim is tiny by the definition of skew (<=
+      // totalRows/saltBlockSize keys): pull it to the driver once (bounded)
+      // and broadcast-join it — the detection aggregate runs exactly one
+      // job and the no-skew case costs zero extra passes over bandRows
+      val hotDf = detect
         .where(col("n") > saltBlockSize && col("n") <= maxBucketSize)
         .select(col("band"), col("key"),
           ceil(col("n") / lit(saltBlockSize.toDouble)).cast("int").as("nblocks"))
-      val cold = bandRows.join(hotKeys.select("band", "key"),
-        Seq("band", "key"), "left_anti")
-      val hotRows = bandRows.join(hotKeys, Seq("band", "key"))
-      groupEmitPairs(spark, cold, maxBucketSize)
-        .union(saltedPairs(spark, hotRows))
-        .distinct()
+      val cap = 1 << 20
+      val hot = hotDf.limit(cap + 1).collect()
+      require(hot.length <= cap,
+        s"more than $cap hot LSH buckets above saltBlockSize=$saltBlockSize " +
+        "— this is not skew, it is the typical bucket size; raise " +
+        "saltBlockSize instead of salting everything")
+      if (hot.isEmpty) // common no-skew case
+        groupEmitPairs(spark, bandRows, maxBucketSize).distinct()
+      else {
+        import spark.implicits._
+        val hotKeys = hot.map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+          .toSeq.toDF("band", "key", "nblocks")
+        val cold = bandRows.join(broadcast(hotKeys.select("band", "key")),
+          Seq("band", "key"), "left_anti")
+        val hotRows = bandRows.join(broadcast(hotKeys), Seq("band", "key"))
+        groupEmitPairs(spark, cold, maxBucketSize)
+          .union(saltedPairs(spark, hotRows))
+          .distinct()
+      }
     }
     (pairs, dropped)
   }
@@ -179,12 +214,23 @@ object DedupPipeline {
   /** One shuffle + sorted streaming group emission: memory is bounded by
     * one bucket's id array (<= cap), never by its n^2 pair count.
     */
+  /** Partition count for the sort-heavy pair-generation shuffles: the
+    * per-task sort is the stage's bottleneck (O(n log n) single-threaded),
+    * so use 2x the cluster's cores when the configured shuffle partitions
+    * are lower — measured 1.4x faster at 164M band rows / 32 threads, while
+    * the join/CC stages stay at the configured count (more partitions
+    * measurably HURT the latency-bound CC iterations).
+    */
+  private def pairGenPartitions(spark: SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism * 2,
+      spark.sessionState.conf.numShufflePartitions)
+
   private def groupEmitPairs(spark: SparkSession, bandRows: DataFrame,
       maxBucketSize: Int): DataFrame = {
     import spark.implicits._
     val cap = maxBucketSize
     bandRows
-      .repartition(col("band"), col("key"))
+      .repartition(pairGenPartitions(spark), col("band"), col("key"))
       .sortWithinPartitions("band", "key", "id")
       .select(col("band"), col("key"), col("id")).as[(Int, Long, Long)]
       .mapPartitions { it =>
@@ -238,7 +284,8 @@ object DedupPipeline {
       hotRows: DataFrame): DataFrame = {
     import spark.implicits._
     saltedGroups(spark, hotRows)
-      .repartition(col("band"), col("key"), col("gi"), col("gj"))
+      .repartition(pairGenPartitions(spark),
+        col("band"), col("key"), col("gi"), col("gj"))
       .sortWithinPartitions("band", "key", "gi", "gj", "blk", "id")
       .as[(Int, Long, Int, Int, Int, Long)]
       .mapPartitions { it =>
@@ -331,14 +378,18 @@ object DedupPipeline {
     val k = params.kmerLen
     val ids = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id"))).distinct()
-    val setOf = udf((text: String) => Shingler.shingleSet(text, k))
+    // packed (delta+varint) sets: the pair join below ships each set once
+    // per pair side, and that shuffle dominates the stage — packing cuts it
+    // ~3-4x vs array<bigint> (Shingler.packSet)
+    val setOf = udf((text: String) =>
+      Shingler.packSet(Shingler.shingleSet(text, k)))
     val sets = docs.join(ids, "id")
       .select(col("id"), setOf(normalizeAZ(col("text"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tau = threshold
-    val keep = udf((x: Array[Long], y: Array[Long]) => {
-      val i = Shingler.intersectionSize(x, y)
-      i >= tau * (x.length + y.length - i)
+    val keep = udf((x: Array[Byte], y: Array[Byte]) => {
+      val i = Shingler.intersectionSizePacked(x, y)
+      i >= tau * (Shingler.packedSize(x) + Shingler.packedSize(y) - i)
     })
     val out = pairs
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
@@ -376,7 +427,8 @@ object DedupPipeline {
 
     val rawPairs = io.stage("pairs_raw") {
       val (p, hot) = candidatePairs(spark, bandRows, cfg.maxBucketSize,
-        saltBlockSize = cfg.saltBlockSize)
+        saltBlockSize = cfg.saltBlockSize,
+        saltDetectFraction = cfg.saltDetectFraction)
       if (cfg.maxBucketSize != Int.MaxValue) {
         val dropped = hot.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
         io.note("pairs_raw", Map("dropped_bucket_rows" -> dropped))
@@ -397,7 +449,10 @@ object DedupPipeline {
       }
 
     val components = io.stage("components") {
-      ConnectedComponents.run(spark, pairs, docs.select("id"))
+      // pair generation emits canonical distinct (a < b) pairs and
+      // verify/densify preserve that — skip CC's canonicalize shuffle
+      ConnectedComponents.run(spark, pairs, docs.select("id"),
+        assumeCanonical = true)
     }
     // the pairs have been fully materialized by now (stage write, or the
     // eager localCheckpoint of CC's first iteration) — release the verify

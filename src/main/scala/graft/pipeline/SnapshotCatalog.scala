@@ -75,9 +75,13 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
     val dataDir = tableDir(table).resolve("data").resolve(s"snap-$version-$snapId")
     Files.createDirectories(metaDir(table))
 
-    // 1. immutable data files
+    // 1. immutable data files; footers are read back in parallel — a
+    // serial loop over hundreds of files would add seconds per commit
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val newFiles = listParquet(dataDir).map(footerMeta)
+    val newFiles = {
+      import scala.collection.parallel.CollectionConverters._
+      listParquet(dataDir).par.map(footerMeta).seq.toSeq
+    }
 
     // 2. manifest: new files (+ parent's files when appending)
     val carried =

@@ -43,6 +43,26 @@ class ShinglerSpec extends AnyFunSuite {
     assert(Shingler.kmerValues("", 3).isEmpty)
   }
 
+  test("packed sets: pack/merge-count round-trips exactly vs array form") {
+    val rng = new scala.util.Random(53)
+    for (_ <- 0 until 200) {
+      def randSet() = Shingler.shingleSet(
+        (0 until rng.nextInt(300)).map(_ => ('A' + rng.nextInt(26)).toChar)
+          .mkString, 6)
+      val a = randSet(); val b = randSet()
+      val pa = Shingler.packSet(a); val pb = Shingler.packSet(b)
+      assert(Shingler.packedSize(pa) == a.length)
+      assert(Shingler.intersectionSizePacked(pa, pb) ==
+        Shingler.intersectionSize(a, b))
+      assert(pa.length < math.max(8, a.length * 5),
+        s"packing should be compact: ${pa.length} bytes for ${a.length} values")
+    }
+    // edge: empty sets
+    val e = Shingler.packSet(Array.emptyLongArray)
+    assert(Shingler.packedSize(e) == 0)
+    assert(Shingler.intersectionSizePacked(e, e) == 0)
+  }
+
   test("shingleSet is sorted-distinct; jaccard merge-count is exact") {
     val rng = new scala.util.Random(11)
     for (_ <- 0 until 200) {

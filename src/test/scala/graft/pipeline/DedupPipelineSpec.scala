@@ -124,9 +124,13 @@ class DedupPipelineSpec extends AnyFunSuite with SparkSpec {
     bandRows.unpersist()
   }
 
-  test("pipeline with default salting == oracle on the skew corpus") {
+  test("pipeline with salting == oracle on the skew corpus (exact + sampled)") {
+    // exact detection — the salted path definitely engages
     compare(PagesGen.skew(hot = 80, background = 150),
-      DedupConfig(params = p8, saltBlockSize = 16))
+      DedupConfig(params = p8, saltBlockSize = 16, saltDetectFraction = 1.0))
+    // sampled detection — either error mode must still be lossless
+    compare(PagesGen.skew(hot = 80, background = 150),
+      DedupConfig(params = p8, saltBlockSize = 16, saltDetectFraction = 0.3))
   }
 
   test("resume: stage outputs are reused and final result is identical") {
