@@ -70,7 +70,15 @@ object SparkEntry {
       withDoc.join(rep, "cluster")
         .select(col("doc_id"), col("cluster_doc_id"), col("cluster_size"))
         .orderBy("doc_id")
-    })
+    }),
+    // A7 cross-check: label propagation must equal the star-CC clusters,
+    // verified by the SAME independent DuckDB oracle
+    "q23_label_prop_clusters" -> ((s, d) => M.labelPropClusters(s, d)),
+    // the vertex-shingling densification round (reference default
+    // shingling_iterations = 2), fully re-derived in SQL by the oracle
+    "q24_vertex_round_clusters" -> ((s, d) => M.vertexRoundClusters(s, d)),
+    // multimodal frame-sampling plumbing, byte-exact via hex
+    "q25_frame_samples" -> ((s, d) => T.frameSamples(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -95,6 +103,9 @@ object SparkEntry {
     "q19_ann_bucketed" -> E.annBucketedSql,
     "q20_binary_meta" -> T.binaryMetaSql,
     "q21_hourly_events" -> T.hourlyEventsSql,
-    "q22_pages_pipeline" -> M.pagesPipelineSql
+    "q22_pages_pipeline" -> M.pagesPipelineSql,
+    "q23_label_prop_clusters" -> M.labelPropClustersSql,
+    "q24_vertex_round_clusters" -> M.vertexRoundClustersSql,
+    "q25_frame_samples" -> T.frameSamplesSql
   )
 }

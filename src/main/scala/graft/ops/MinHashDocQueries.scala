@@ -164,6 +164,39 @@ object MinHashDocQueries {
     bx.union(by).orderBy("side", "label")
   }
 
+  /** (doc_id, cluster_id) via min-label propagation (A7) — the
+    * reference-faithful CC cross-check run over the same LSH pairs; must
+    * equal [[clusters]] exactly (and the same DuckDB oracle verifies it
+    * independently).
+    */
+  def labelPropClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) =
+      DedupPipeline.candidatePairs(spark, bandRows(spark, dir), Int.MaxValue)
+    val nodes = Ops.table(spark, dir, "documents")
+      .select(col("doc_id").as("id"))
+    graft.pipeline.LabelPropagation.run(spark, pairs, nodes)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, cluster_id) after ONE vertex-shingling densification round
+    * (reference default `shingling_iterations = 2`): kmer-round LSH pairs
+    * unioned with pairs from re-sketching each node over its neighbor-id
+    * set, then CC. The DuckDB oracle re-derives the whole vertex round in
+    * SQL (same `(a*x+b) mod P` family over neighbor ids, c=2 minima,
+    * `>= c` gate).
+    */
+  def vertexRoundClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) =
+      DedupPipeline.candidatePairs(spark, bandRows(spark, dir), Int.MaxValue)
+    val all = graft.pipeline.VertexShingling.densify(spark, pairs, params)
+    val nodes = Ops.table(spark, dir, "documents")
+      .select(col("doc_id").as("id"))
+    ConnectedComponents.run(spark, all, nodes, assumeCanonical = true)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, canonical_id) — exact dedup by full text equality (min id per
     * identical-text group), the A3-distinct shape.
     */
@@ -302,6 +335,62 @@ ORDER BY side, label"""
   val exactDedupSql: String = """
 SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
 FROM documents ORDER BY doc_id"""
+
+  /** q23 oracle: identical to [[clustersSql]] — label propagation and
+    * large/small-star must produce the same min-label components.
+    */
+  val labelPropClustersSql: String = clustersSql
+
+  /** q24 oracle: the vertex round in pure SQL — neighbor sets from the LSH
+    * pairs, the same universal hash family over neighbor ids (doc_ids are
+    * positive here so `%` == floorMod), c=2 minima with the >= c gate,
+    * vertex pairs from (h, m1, m2) collisions, recursive CC over the union.
+    */
+  val vertexRoundClustersSql: String = s"""WITH RECURSIVE $pairsCtes,
+nbrs AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM lsh_pairs
+),
+vhashed AS (
+  SELECT n.u, hp.h, (n.v * hp.a + hp.b) % ${Ops.Prime} AS hv
+  FROM nbrs n CROSS JOIN hp
+),
+vranked AS (
+  SELECT u, h, hv,
+    row_number() OVER (PARTITION BY u, h ORDER BY hv) AS rn,
+    count(*) OVER (PARTITION BY u, h) AS cnt
+  FROM vhashed
+),
+vsigs AS (
+  SELECT u, h,
+    max(CASE WHEN rn = 1 THEN hv END) AS m1,
+    max(CASE WHEN rn = 2 THEN hv END) AS m2
+  FROM vranked WHERE cnt >= 2 GROUP BY u, h
+),
+vpairs AS (
+  SELECT DISTINCT s1.u AS a, s2.u AS b
+  FROM vsigs s1 JOIN vsigs s2
+    ON s1.h = s2.h AND s1.m1 = s2.m1 AND s1.m2 = s2.m2
+  WHERE s1.u < s2.u
+),
+all_pairs AS (
+  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+  UNION
+  SELECT a, b FROM vpairs
+),
+bi(u, v) AS (
+  SELECT a, b FROM all_pairs UNION ALL SELECT b, a FROM all_pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT bi.v, reach.lbl FROM reach JOIN bi ON bi.u = reach.node
+),
+vclusters AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id FROM vclusters ORDER BY doc_id"""
 
   /** Oracle for the COMPOSED pages pipeline (q22): the same CTE chain as
     * q02→q04 (signatures → LSH pairs → recursive CC) plus per-cluster

@@ -301,6 +301,40 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
   upper(hex(encode(substr(text, 1, 4)))) AS head_hex
 FROM documents ORDER BY doc_id"""
 
+  /** Frame-sampling plumbing under the driver gate: 4 deterministic 16-byte
+    * windows per document payload via the REAL
+    * [[MultimodalOps.sampleFrames]] operator, hex-encoded so the compare is
+    * byte-exact across engines.
+    */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    // payload normalized to A-Z bytes: DuckDB's substr has no BLOB overload,
+    // so the oracle slices the VARCHAR — guaranteed equal to byte slicing
+    // only on pure-ASCII payloads
+    val d = Ops.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        encode(regexp_replace(upper(col("text")), "[^A-Z]", ""), "UTF-8")
+          .as("payload"))
+    MultimodalOps.sampleFrames(d, "doc_id", "payload", n = 4, frameBytes = 16)
+      .select(col("doc_id"), col("frame_idx").cast("long"),
+        upper(hex(col("frame_bytes"))).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Spark's `/` is double division and its int cast truncates — the oracle
+    * reproduces exactly that arithmetic (floor of double), not `//`.
+    */
+  val frameSamplesSql: String = """
+WITH f AS (
+  SELECT doc_id, unnest(range(0, 4)) AS i,
+    regexp_replace(upper(text), '[^A-Z]', '', 'g') AS b
+  FROM documents
+)
+SELECT doc_id, i AS frame_idx,
+  upper(hex(encode(substr(b,
+    floor(i * greatest((length(b) - 16) / 4.0, 1.0) + 1)::INT, 16))))
+    AS frame_hex
+FROM f ORDER BY doc_id, frame_idx"""
+
   // -------------------------------------------------------- hourly windows --
 
   /** Batch shape of the streaming aggregation: per (user, hour) event count
