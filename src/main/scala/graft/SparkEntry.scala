@@ -78,7 +78,11 @@ object SparkEntry {
     // shingling_iterations = 2), fully re-derived in SQL by the oracle
     "q24_vertex_round_clusters" -> ((s, d) => M.vertexRoundClusters(s, d)),
     // multimodal frame-sampling plumbing, byte-exact via hex
-    "q25_frame_samples" -> ((s, d) => T.frameSamples(s, d))
+    "q25_frame_samples" -> ((s, d) => T.frameSamples(s, d)),
+    // A10 nocc: overlapping closed-neighborhood clusters, set-deduped
+    "q26_nocc" -> ((s, d) => M.noccClusters(s, d)),
+    // P7: the clusters_to_remove anti-filter as a dedicated surface
+    "q27_remove_clusters" -> ((s, d) => M.clustersAfterRemoval(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -106,6 +110,8 @@ object SparkEntry {
     "q22_pages_pipeline" -> M.pagesPipelineSql,
     "q23_label_prop_clusters" -> M.labelPropClustersSql,
     "q24_vertex_round_clusters" -> M.vertexRoundClustersSql,
-    "q25_frame_samples" -> T.frameSamplesSql
+    "q25_frame_samples" -> T.frameSamplesSql,
+    "q26_nocc" -> M.noccClustersSql,
+    "q27_remove_clusters" -> M.clustersAfterRemovalSql
   )
 }

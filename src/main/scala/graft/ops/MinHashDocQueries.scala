@@ -197,6 +197,68 @@ object MinHashDocQueries {
       .orderBy("doc_id")
   }
 
+  /** A10 — the reference's `nocc` mode
+    * (`minhash_clustering.cpp:80`, `shingling_cluster_generator_optimized
+    * .cpp:350-360`): no connected components at all; every node exports its
+    * CLOSED neighborhood as a cluster labeled by the node
+    * (`add_label_to_cluster`, `:1447`), with redundant identical clusters
+    * removed (`remove_redundant_local`, `:368` — local-only there, exact
+    * and global here: identical member sets keep the min label).
+    * Output (cluster_id, doc_id), possibly overlapping clusters — the form
+    * the reference feeds to external community detection.
+    */
+  def noccClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) =
+      DedupPipeline.candidatePairs(spark, bandRows(spark, dir), Int.MaxValue)
+    val nodes = Ops.table(spark, dir, "documents")
+      .select(col("doc_id").as("id"))
+    nocc(spark, pairs, nodes)
+      .select(col("label").as("cluster_id"), col("member").as("doc_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Generic nocc operator: edges (a, b) + node universe -> overlapping
+    * closed-neighborhood clusters (label, member), deduplicated by member
+    * set. The set-dedup groups by the sorted member array — each group is
+    * one neighborhood, so memory is bounded by the max degree (the same
+    * bound the export itself requires).
+    */
+  def nocc(spark: SparkSession, edges: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val members = edges.select(col("a").as("label"), col("b").as("member"))
+      .union(edges.select(col("b").as("label"), col("a").as("member")))
+      .union(nodes.select(col("id").as("label"), col("id").as("member")))
+      .distinct()
+    val sets = members.groupBy("label")
+      .agg(sort_array(collect_list(col("member"))).as("ms"))
+    val keep = sets.groupBy("ms").agg(min(col("label")).as("label"))
+      .select("label")
+    members.join(keep, Seq("label"), "left_semi")
+  }
+
+  /** P7 — `clusters_to_remove` anti-filter (`shingling_cluster_generator_
+    * optimized.cpp:1646-1663` shape): drop every member of the named
+    * clusters. The dedicated operator surface (q08 covers the P6 doc-level
+    * variant).
+    */
+  def removeClusters(assignments: DataFrame, clustersToRemove: DataFrame)
+      : DataFrame =
+    assignments.join(clustersToRemove.select("cluster_id"),
+      Seq("cluster_id"), "left_anti")
+
+  /** (doc_id, cluster_id) after removing clusters of size >= 5 (a
+    * deterministic stand-in for the reference's removal list, exercised
+    * through [[removeClusters]]).
+    */
+  def clustersAfterRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val c = clusters(spark, dir)
+    val toRemove = c.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 5)
+    removeClusters(c, toRemove)
+      .select(col("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, canonical_id) — exact dedup by full text equality (min id per
     * identical-text group), the A3-distinct shape.
     */
@@ -335,6 +397,30 @@ ORDER BY side, label"""
   val exactDedupSql: String = """
 SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
 FROM documents ORDER BY doc_id"""
+
+  /** q26 oracle: closed neighborhoods + identical-set dedup in SQL. */
+  val noccClustersSql: String = s"""WITH $pairsCtes,
+m AS (
+  SELECT id_a AS label, id_b AS member FROM lsh_pairs
+  UNION
+  SELECT id_b AS label, id_a AS member FROM lsh_pairs
+  UNION
+  SELECT doc_id, doc_id FROM documents
+),
+s AS (SELECT label, list_sort(list(member)) AS ms FROM m GROUP BY label),
+k AS (SELECT min(label) AS label FROM s GROUP BY ms)
+SELECT m.label AS cluster_id, m.member AS doc_id
+FROM m JOIN k USING (label)
+ORDER BY cluster_id, doc_id"""
+
+  /** q27 oracle: clusters minus members of clusters of size >= 5. */
+  val clustersAfterRemovalSql: String = s"""WITH RECURSIVE $clustersCtes,
+big AS (
+  SELECT cluster_id FROM clusters GROUP BY cluster_id HAVING count(*) >= 5
+)
+SELECT doc_id, cluster_id FROM clusters
+WHERE cluster_id NOT IN (SELECT cluster_id FROM big)
+ORDER BY doc_id"""
 
   /** q23 oracle: identical to [[clustersSql]] — label propagation and
     * large/small-star must produce the same min-label components.

@@ -444,7 +444,8 @@ object DedupPipeline {
       if (cfg.shinglingIterations <= 1) verified
       else io.stage("pairs_dense") {
         (2 to cfg.shinglingIterations).foldLeft(verified) { (e, _) =>
-          VertexShingling.densify(spark, e, cfg.params, cfg.maxBucketSize)
+          VertexShingling.densify(spark, e, cfg.params, cfg.maxBucketSize,
+            cfg.saltBlockSize, cfg.saltDetectFraction)
         }
       }
 

@@ -74,11 +74,18 @@ object VertexShingling {
     out
   }
 
-  /** edges (a, b) -> extra candidate pairs from neighbor-set banding. */
+  /** edges (a, b) -> extra candidate pairs from neighbor-set banding.
+    * Hot vertex-band buckets (many nodes sharing a neighbor-set sketch)
+    * get the same lossless salted decomposition as the k-mer round.
+    */
   def extraPairs(spark: SparkSession, edges: DataFrame,
-      params: MinHashParams, maxBucketSize: Int = Int.MaxValue): DataFrame =
+      params: MinHashParams, maxBucketSize: Int = Int.MaxValue,
+      saltBlockSize: Int = Int.MaxValue,
+      saltDetectFraction: Double = 1.0): DataFrame =
     DedupPipeline.candidatePairs(spark,
-      vertexBandRows(spark, edges, params), maxBucketSize)._1
+      vertexBandRows(spark, edges, params), maxBucketSize,
+      saltBlockSize = saltBlockSize,
+      saltDetectFraction = saltDetectFraction)._1
 
   /** Vertex band rows (id, band, key) from a one-shot full re-sketch of
     * every node's neighbor set — the non-incremental form (the cache in
@@ -133,8 +140,11 @@ object VertexShingling {
     * when `shinglingIterations > 1` (reference `:308` collate + `:368`).
     */
   def densify(spark: SparkSession, edges: DataFrame,
-      params: MinHashParams, maxBucketSize: Int = Int.MaxValue): DataFrame =
+      params: MinHashParams, maxBucketSize: Int = Int.MaxValue,
+      saltBlockSize: Int = Int.MaxValue,
+      saltDetectFraction: Double = 1.0): DataFrame =
     edges.select("a", "b")
-      .union(extraPairs(spark, edges, params, maxBucketSize))
+      .union(extraPairs(spark, edges, params, maxBucketSize,
+        saltBlockSize, saltDetectFraction))
       .distinct()
 }
