@@ -368,22 +368,31 @@ object DedupPipeline {
     * collect) — unpersisting earlier silently recomputes both join sides.
     */
   def verifyPairsManaged(spark: SparkSession, pairsIn: DataFrame,
-      docs: DataFrame, params: MinHashParams, threshold: Double)
-      : (DataFrame, () => Unit) = {
+      docs: DataFrame, params: MinHashParams, threshold: Double,
+      pruneSets: Boolean = true): (DataFrame, () => Unit) = {
     if (threshold <= 0.0) return (pairsIn, () => ())
     // pairsIn feeds three subtrees (ids + the pair join) — persist; in
     // [[run]] it is already a stage table, this protects direct callers.
     val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel
       .MEMORY_AND_DISK)
     val k = params.kmerLen
-    val ids = pairs.select(col("a").as("id"))
-      .union(pairs.select(col("b").as("id"))).distinct()
     // packed (delta+varint) sets: the pair join below ships each set once
     // per pair side, and that shuffle dominates the stage — packing cuts it
     // ~3-4x vs array<bigint> (Shingler.packSet)
     val setOf = udf((text: String) =>
       Shingler.packSet(Shingler.shingleSet(text, k)))
-    val sets = docs.join(ids, "id")
+    // semi-join pruning pays when candidate pairs touch a small fraction of
+    // docs (the web-scale shape); on dup-heavy inputs where most docs are
+    // in pairs, the distinct + semi-join shuffles cost more than sketching
+    // every doc (pure map work) — [[run]] decides from the stage row counts
+    val pruned =
+      if (!pruneSets) docs
+      else {
+        val ids = pairs.select(col("a").as("id"))
+          .union(pairs.select(col("b").as("id"))).distinct()
+        docs.join(ids, "id")
+      }
+    val sets = pruned
       .select(col("id"), setOf(normalizeAZ(col("text"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tau = threshold
@@ -436,8 +445,19 @@ object DedupPipeline {
       p
     }
 
+    // semi-join pruning decision from the committed stage row counts (free:
+    // manifest reads) — prune when the candidate pairs can only touch a
+    // minority of docs; in-memory mode defaults to pruning (tests, small)
+    val pruneSets = io.catalog match {
+      case Some(cat) if cat.exists("docs") && cat.exists("pairs_raw") =>
+        val docRows = cat.snapshot("docs", cat.currentVersion("docs")).rows
+        val pairRows =
+          cat.snapshot("pairs_raw", cat.currentVersion("pairs_raw")).rows
+        2 * pairRows < docRows
+      case _ => true
+    }
     val (verified0, verifyCleanup) = verifyPairsManaged(
-      spark, rawPairs, docs, cfg.params, cfg.jaccardThreshold)
+      spark, rawPairs, docs, cfg.params, cfg.jaccardThreshold, pruneSets)
     val verified = io.stage("pairs")(verified0)
 
     val pairs =
