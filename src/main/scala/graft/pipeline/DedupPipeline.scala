@@ -90,23 +90,37 @@ object DedupPipeline {
     regexp_replace(upper(c), "[^A-Z]", "")
 
   /** Stage 1 — signatures, exploded to band rows: (id, band, key).
-    * A single map pass (no shuffle). Implemented as a UDF + explode rather
-    * than typed mapPartitions: relational nodes canonicalize, so when the
-    * self-join in [[candidatePairs]] shuffles both sides on (band, key),
-    * Catalyst plans ONE exchange and reuses it (ReusedExchange) — a typed
-    * MapPartitions lambda would defeat `sameResult` and compute the
+    * A single map pass (no shuffle), relational (canonicalizable) so when
+    * the self-join in [[candidatePairs]] shuffles both sides on (band,
+    * key), Catalyst plans ONE exchange and reuses it (ReusedExchange) — a
+    * typed MapPartitions lambda would defeat `sameResult` and compute the
     * signatures twice.
+    *
+    * Default path: the native [[graft.functions.MinHashBandKeys]]
+    * expression — normalize + rolling shingle + c-min fused into one pass
+    * over the raw UTF8 bytes inside whole-stage codegen (no regexp pass, no
+    * uppercase copy, no ScalaUDF conversions). Falls back to the
+    * (byte-identical) UDF form when a non-default hash-randoms family is
+    * configured, which the expression does not carry.
     */
   def signatures(spark: SparkSession, docs: DataFrame,
       params: MinHashParams): DataFrame = {
-    // primitive Array[Long] of packed band keys, band index = position
-    // (posexplode) — no per-row tuple boxing; the MinHasher lives in the
-    // closure, one instance per task, buffers reused across rows
-    val hasher = new MinHasher(params)
-    val keysUdf = udf((t: String) => hasher.bandKeys(t))
+    import org.apache.spark.sql.GraftSqlBridge
+    val nativeOk = (params.randoms eq graft.core.HashRandoms.default) ||
+      params.randoms.sameElements(graft.core.HashRandoms.default)
+    val keys =
+      if (nativeOk)
+        GraftSqlBridge.column(graft.functions.MinHashBandKeys(
+          GraftSqlBridge.expression(col("text")),
+          params.kmerLen, params.bandWidth, params.numHashes))
+      else {
+        // one hasher per task (closure), buffers reused across rows
+        val hasher = new MinHasher(params)
+        val keysUdf = udf((t: String) => hasher.bandKeys(t))
+        keysUdf(normalizeAZ(col("text")))
+      }
     docs
-      .select(col("id"),
-        posexplode(keysUdf(normalizeAZ(col("text")))).as(Seq("band", "key")))
+      .select(col("id"), posexplode(keys).as(Seq("band", "key")))
       .select(col("id"), col("band"), col("key"))
   }
 
