@@ -25,6 +25,21 @@ object StreamingDedup {
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Watermarked event-time windowed aggregation — the streaming form of
+    * the batch hourly rollup (`TextQueries.hourlyEvents`): per (user, hour
+    * window) event count and cent-quantized value sum. Late events beyond
+    * the watermark are dropped and their windows finalized (bounded state).
+    */
+  def hourlyEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100)).cast("long").as("sum_cents"))
+      .select(col("user_id"),
+        unix_micros(col("window.start")).as("hour_us"),
+        col("n_events"), col("sum_cents"))
+
   final case class BandRow(id: Long, band: Int, key: Long)
   final case class CandidatePair(a: Long, b: Long)
 
