@@ -82,7 +82,10 @@ object SparkEntry {
     // A10 nocc: overlapping closed-neighborhood clusters, set-deduped
     "q26_nocc" -> ((s, d) => M.noccClusters(s, d)),
     // P7: the clusters_to_remove anti-filter as a dedicated surface
-    "q27_remove_clusters" -> ((s, d) => M.clustersAfterRemoval(s, d))
+    "q27_remove_clusters" -> ((s, d) => M.clustersAfterRemoval(s, d)),
+    // embedding-cosine near-dup clusters (bucketed pairs -> CC),
+    // integer-exact threshold compare
+    "q28_embedding_dedup" -> ((s, d) => E.embeddingDedup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,6 +115,7 @@ object SparkEntry {
     "q24_vertex_round_clusters" -> M.vertexRoundClustersSql,
     "q25_frame_samples" -> T.frameSamplesSql,
     "q26_nocc" -> M.noccClustersSql,
-    "q27_remove_clusters" -> M.clustersAfterRemovalSql
+    "q27_remove_clusters" -> M.clustersAfterRemovalSql,
+    "q28_embedding_dedup" -> E.embeddingDedupSql
   )
 }

@@ -152,6 +152,170 @@ GROUP BY vec_id ORDER BY vec_id"""
       .orderBy("vec_id", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate CLUSTERS: candidate pairs from the
+    * sign-LSH buckets (the scale path — never all-pairs), kept when
+    * cos(a, b) >= 0.9, resolved to components with min-vec_id labels.
+    * The threshold compare is INTEGER-exact cross-engine:
+    * cos >= t  <=>  dot >= 0 && 100*dot^2 >= (100 t^2) * na * nb
+    * over the quantized vectors (t = 0.9 -> 81).
+    */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val withBucket = e.join(lshBuckets(spark, dir), "vec_id")
+    val a = withBucket.select(col("bucket"), col("vec_id").as("a"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("b"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val pairs = a.join(b, "bucket")
+      .where(col("a") < col("b"))
+      .withColumn("dot", dot)
+      .where(col("dot") >= 0 &&
+        col("dot") * col("dot") * 100 >= lit(81) * col("na") * col("nb"))
+      .select("a", "b")
+      .distinct()
+    val nodes = Ops.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"))
+    graft.pipeline.ConnectedComponents.run(spark, pairs, nodes,
+        assumeCanonical = true)
+      .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingDedupSql: String = {
+    val planeValues = (0 until Ops.LshPlanes).map { j =>
+      val cs = Ops.hyperplane(j, Ops.EmbeddingDims).mkString("[", ", ", "]")
+      s"($j, $cs::BIGINT[])"
+    }.mkString(",\n ")
+    s"""
+WITH RECURSIVE planes(j, p) AS (VALUES
+ $planeValues),
+q AS (
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qe
+  FROM embeddings
+),
+n AS (SELECT vec_id, list_dot_product(qe, qe)::BIGINT AS nb FROM q),
+buckets AS (
+  SELECT vec_id,
+    sum(CASE WHEN list_dot_product(qe, p) >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+      AS bucket
+  FROM q CROSS JOIN planes GROUP BY vec_id
+),
+pairs AS (
+  SELECT DISTINCT ba.vec_id AS a, bb.vec_id AS b
+  FROM buckets ba
+  JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN q qa ON qa.vec_id = ba.vec_id
+  JOIN q qb ON qb.vec_id = bb.vec_id
+  JOIN n na ON na.vec_id = ba.vec_id
+  JOIN n nbb ON nbb.vec_id = bb.vec_id
+  WHERE list_dot_product(qa.qe, qb.qe) >= 0
+    AND list_dot_product(qa.qe, qb.qe)::BIGINT * list_dot_product(qa.qe, qb.qe)::BIGINT * 100
+        >= 81 * na.nb * nbb.nb
+),
+bi(u, v) AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT bi.v, reach.lbl FROM reach JOIN bi ON bi.u = reach.node
+)
+SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+ORDER BY vec_id"""
+  }
+
+  /** IVF-style ANN (the second scale path next to sign-LSH): a deterministic
+    * coarse quantizer — centroids = the first `nCells` vectors by id,
+    * refined by `iters` Lloyd steps over integer-quantized vectors — then
+    * top-k search with multi-probe: each query probes its `nProbe` nearest
+    * cells, candidates are vectors whose HOME cell is probed (candidate
+    * fraction ~ nProbe/nCells, never all-pairs). No SQL oracle (iterative
+    * float k-means is not reasonably DuckDB-exact); correctness = recall@k
+    * vs brute force in the sbt spec, the standard ANN acceptance metric.
+    */
+  def ivf(spark: SparkSession, dir: String, nCells: Int = 16, iters: Int = 2,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic init: the nCells lowest vec_ids (no RNG: reproducible)
+    var centroids: Array[(Int, Array[Double])] = e.orderBy("vec_id")
+      .limit(nCells).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getAs[scala.collection.Seq[Long]]("q").map(_.toDouble).toArray)
+      }
+    def assignCell(q: scala.collection.Seq[Long],
+        cs: Array[(Int, Array[Double])]): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      cs.foreach { case (i, c) =>
+        var d = 0.0; var j = 0
+        val n = math.min(c.length, q.length)
+        while (j < n) { val t = q(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val cs = centroids
+      val cellOf = udf((q: scala.collection.Seq[Long]) => assignCell(q, cs))
+      // Lloyd step: mean per cell, distributed
+      val assigned = e.withColumn("cell", cellOf(col("q")))
+      centroids = assigned
+        .select(col("cell"), col("q"))
+        .as[(Int, Array[Long])]
+        .groupByKey(_._1)
+        .mapGroups { (cell, rows) =>
+          val sum = new Array[Double](Ops.EmbeddingDims)
+          var n = 0L
+          rows.foreach { case (_, q) =>
+            var j = 0
+            val m = math.min(sum.length, q.length)
+            while (j < m) { sum(j) += q(j); j += 1 }
+            n += 1
+          }
+          (cell, sum.map(_ / n))
+        }
+        .collect()
+      it += 1
+    }
+    val cs = centroids
+    val np = math.min(nProbe, cs.length)
+    def nearestCells(q: scala.collection.Seq[Long]): Array[Int] =
+      cs.map { case (i, c) =>
+        var d = 0.0; var j = 0
+        val n = math.min(c.length, q.length)
+        while (j < n) { val t = q(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(np).map(_._2)
+    val cellOf = udf((q: scala.collection.Seq[Long]) => assignCell(q, cs))
+    val probeOf = udf((q: scala.collection.Seq[Long]) => nearestCells(q))
+    // query side probes its nProbe nearest cells; candidate side sits in
+    // its single home cell — the join fans each query out nProbe ways
+    val a = e.select(explode(probeOf(col("q"))).as("cell"),
+      col("vec_id").as("a_id"), col("q").as("qa"))
+    val b = e.withColumn("cell", cellOf(col("q")))
+      .select(col("cell"), col("vec_id").as("b_id"),
+        col("q").as("qb"), col("nrm").as("nb"))
+    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val pairs = a.join(b, "cell")
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("dot", dot)
+      .withColumn("cosv", when(col("nb") === 0, lit(-2.0))
+        .otherwise(col("dot").cast("double") / sqrt(col("nb").cast("double"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(desc("cosv"), col("b_id"))
+    val out = pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("a_id").as("vec_id"), col("rnk"), col("b_id").as("neighbor_id"))
+      .orderBy("vec_id", "rnk")
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   val annBucketedSql: String = {
     val planeValues = (0 until Ops.LshPlanes).map { j =>
       val cs = Ops.hyperplane(j, Ops.EmbeddingDims).mkString("[", ", ", "]")

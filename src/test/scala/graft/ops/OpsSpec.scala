@@ -91,6 +91,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length == 16))
   }
 
+  test("IVF ANN: recall@5 vs brute force is high, never all-pairs") {
+    val brute = EmbeddingQueries.knn(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.map(_.getLong(2)).toSet }
+    val ivf = EmbeddingQueries.ivf(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.map(_.getLong(2)).toSet }
+    // recall@5: fraction of true top-5 neighbors found within the cell
+    val hits = brute.map { case (v, truth) =>
+      truth.intersect(ivf.getOrElse(v, Set.empty)).size
+    }.sum
+    val recall = hits.toDouble / brute.map(_._2.size).sum
+    assert(recall >= 0.5, f"IVF recall@5 = $recall%.3f too low")
+    // and the candidate set is genuinely bucketed: no vector was compared
+    // against (nearly) everything
+    assert(ivf.values.forall(_.size <= 5))
+  }
+
+  test("embedding cosine near-dup clusters: every vector labeled, label = min id") {
+    val c = EmbeddingQueries.embeddingDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.size == 500)
+    // labels are cluster minima
+    val byLabel = c.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    assert(byLabel.forall { case (label, minMember) => label == minMember })
+  }
+
   test("embedding knn: every query vector gets exactly k ranked neighbors") {
     val knn = EmbeddingQueries.knn(spark, sf).collect()
     val byVec = knn.groupBy(_.getLong(0))
