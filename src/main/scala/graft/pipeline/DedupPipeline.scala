@@ -547,14 +547,20 @@ object DedupPipeline {
         }
     }
 
+    private var written = 0
     private def writeMetrics(dir: String): Unit = {
-      val lines = metrics.map { m =>
+      // append-only: a resumed run must not erase the metrics history of
+      // the stages it skipped
+      val lines = metrics.drop(written).map { m =>
         val extra = m.extra.map { case (k, v) => s""","$k":$v""" }.mkString
         s"""{"stage":"${m.stage}","rows":${m.rows},"millis":${m.millis}$extra}"""
       }
+      written = metrics.length
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/metrics.jsonl"),
-        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
   }
 }

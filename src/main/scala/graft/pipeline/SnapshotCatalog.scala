@@ -133,6 +133,47 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
   def snapshots(table: String): Seq[Snapshot] =
     (1 to currentVersion(table)).map(snapshot(table, _))
 
+  /** Snapshot expiration (Iceberg's `expireSnapshots`): drop all but the
+    * newest `keepLast` snapshots and delete data files no surviving
+    * snapshot references. Readers of surviving snapshots are unaffected
+    * (their files are retained even if an expired snapshot also listed
+    * them — fast-append shares files across versions).
+    */
+  def expireSnapshots(table: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val current = currentVersion(table)
+    val cutoff = current - keepLast + 1
+    if (cutoff <= 1) return
+    val keepFiles = (cutoff to current)
+      .flatMap(v => snapshot(table, v).files.map(_.path)).toSet
+    (1 until cutoff)
+      .filter(v => Files.exists(metaDir(table).resolve(s"v$v.metadata.json")))
+      .foreach { v => // earlier expirations may have removed a prefix already
+        val snap = snapshot(table, v)
+        snap.files.filterNot(f => keepFiles.contains(f.path)).foreach { f =>
+          Files.deleteIfExists(Paths.get(f.path))
+        }
+        Files.deleteIfExists(metaDir(table).resolve(s"v$v.metadata.json"))
+      }
+    // sweep now-empty data dirs (each snap-<v>-<uuid> dir belongs to one
+    // expired commit; survivors still hold files)
+    val dataRoot = tableDir(table).resolve("data")
+    if (Files.exists(dataRoot)) {
+      import scala.jdk.CollectionConverters._
+      val dirs = Files.list(dataRoot)
+      try dirs.iterator().asScala.filter(Files.isDirectory(_)).foreach { d =>
+        val ls = Files.list(d)
+        val contents = try ls.iterator().asScala.toSeq finally ls.close()
+        // only parquet payloads count as references; writer sidecars
+        // (_SUCCESS, .crc) don't keep a dir alive
+        if (!contents.exists(p => keepFiles.contains(p.toString))) {
+          contents.foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(d)
+        }
+      } finally dirs.close()
+    }
+  }
+
   private def listParquet(dir: JPath): Seq[JPath] = {
     import scala.jdk.CollectionConverters._
     val s = Files.list(dir)

@@ -64,6 +64,29 @@ class SnapshotCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(reread.files == s.files && reread.operation == "overwrite")
   }
 
+  test("expireSnapshots keeps survivors readable and deletes orphans") {
+    val (cat, dir) = freshCat()
+    cat.commit("t", Seq(1L, 2L).toDF("id"))
+    cat.commit("t", Seq(3L).toDF("id"), operation = "append") // shares v1 files
+    cat.commit("t", Seq(10L, 20L).toDF("id")) // overwrite
+    cat.expireSnapshots("t", keepLast = 2)
+    // v1 manifest gone; v2 (append, still referencing v1's files) survives
+    intercept[Exception] { cat.snapshot("t", 1) }
+    assert(cat.read("t", 2).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L), "append survivor must still read its shared files")
+    assert(cat.readLatest("t").get.collect().map(_.getLong(0)).toSet ==
+      Set(10L, 20L))
+    // expire down to 1: v2's files become orphans and are deleted
+    cat.expireSnapshots("t", keepLast = 1)
+    intercept[Exception] { cat.snapshot("t", 2) }
+    assert(cat.readLatest("t").get.collect().map(_.getLong(0)).toSet ==
+      Set(10L, 20L))
+    import scala.jdk.CollectionConverters._
+    val dataDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "t", "data")).iterator().asScala.toSeq
+    assert(dataDirs.size == 1, s"orphan data dirs not swept: $dataDirs")
+  }
+
   test("a racing writer to the same version fails (optimistic concurrency)") {
     val (cat, dir) = freshCat()
     cat.commit("t", Seq(1L).toDF("id"))
