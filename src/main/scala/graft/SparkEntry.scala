@@ -85,7 +85,9 @@ object SparkEntry {
     "q27_remove_clusters" -> ((s, d) => M.clustersAfterRemoval(s, d)),
     // embedding-cosine near-dup clusters (bucketed pairs -> CC),
     // integer-exact threshold compare
-    "q28_embedding_dedup" -> ((s, d) => E.embeddingDedup(s, d))
+    "q28_embedding_dedup" -> ((s, d) => E.embeddingDedup(s, d)),
+    // suffix-array-substring leg: doc pairs sharing length-30 substrings
+    "q29_substring_dups" -> ((s, d) => T.substringDups(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,6 +118,7 @@ object SparkEntry {
     "q25_frame_samples" -> T.frameSamplesSql,
     "q26_nocc" -> M.noccClustersSql,
     "q27_remove_clusters" -> M.clustersAfterRemovalSql,
-    "q28_embedding_dedup" -> E.embeddingDedupSql
+    "q28_embedding_dedup" -> E.embeddingDedupSql,
+    "q29_substring_dups" -> T.substringDupsSql
   )
 }

@@ -282,6 +282,70 @@ SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
 FROM documents ORDER BY doc_id"""
 
+  // ------------------------------------------------- substring duplicates --
+
+  /** Substring-duplicate detection (the north rule's "suffix-array
+    * substring" leg, restated Spark-first): two docs share a duplicated
+    * substring of length >= L iff a suffix of one and a suffix of the other
+    * agree on their first L chars — i.e. iff they share a length-L window.
+    * So: distinct (doc, window) pairs -> equi-self-join on the window ->
+    * per doc pair the count of distinct shared windows. Same detection set
+    * as a suffix-array cross-doc LCP >= L scan, without a global sorted
+    * structure.
+    *
+    * This query form groups on the window STRING (value-exact vs the SQL
+    * oracle); [[substringDupsHashed]] is the at-scale form — group on
+    * xxhash64(window) (8-byte shuffle keys instead of L-byte strings) and
+    * verify candidates by exact string equality; its equality to this form
+    * is spec-tested.
+    */
+  def substringDups(spark: SparkSession, dir: String, L: Int = 30): DataFrame = {
+    val w = windows(spark, dir, L)
+    w.as("x").join(w.as("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** distinct (doc_id, length-L window) — windows at every offset. */
+  private def windows(spark: SparkSession, dir: String, L: Int): DataFrame =
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("text")) - (L - 1), lit(0))),
+          i => substring(col("text"), i, lit(L)))).as("w"))
+      .where(length(col("w")) === L)
+      .distinct()
+
+  /** The 10^12-scale form: 8-byte hash keys through the shuffle, candidate
+    * pairs verified by exact window equality (hash collisions cannot
+    * survive), counts over distinct verified windows.
+    */
+  def substringDupsHashed(spark: SparkSession, dir: String, L: Int = 30)
+      : DataFrame = {
+    val w = windows(spark, dir, L)
+      .select(col("doc_id"), col("w"), xxhash64(col("w")).as("h"))
+    w.as("x").join(w.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .where(col("x.w") === col("y.w")) // exact verification
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val substringDupsSql: String = """
+WITH w AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, 30) AS w
+  FROM (SELECT doc_id, text,
+          unnest(range(1, greatest(length(text) - 29, 0) + 1)) AS i
+        FROM documents)
+  WHERE length(substr(text, i::INT, 30)) = 30
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+FROM w x JOIN w y ON x.w = y.w AND x.doc_id < y.doc_id
+GROUP BY 1, 2 ORDER BY id_a, id_b"""
+
   // ----------------------------------------------------------- binary meta --
 
   /** Multimodal plumbing: treat the text bytes as an opaque binary column

@@ -44,6 +44,16 @@ class MinHashBandKeysSpec extends AnyFunSuite with SparkSpec {
       assert(kernel.bandKeys(UTF8String.fromString(s)).toSeq == udfKeys(p, s),
         s"diverged on: '$s'")
     }
+
+    // every band-width packing branch (c = 1, 2, 3) agrees with MinHasher
+    for (c <- 1 to 3) {
+      val pc = MinHashParams(bandWidth = c, numHashes = 5)
+      val kc = new BandKeyKernel(pc)
+      cases.foreach { s =>
+        assert(kc.bandKeys(UTF8String.fromString(s)).toSeq == udfKeys(pc, s),
+          s"c=$c diverged on: '$s'")
+      }
+    }
   }
 
   test("expression evaluates via codegen, no ScalaUDF in the plan") {

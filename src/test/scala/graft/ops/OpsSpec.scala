@@ -91,6 +91,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length == 16))
   }
 
+  test("substring dups: hashed+verified scale form == string-grouped form") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = rows(TextQueries.substringDups(spark, sf, L = 20))
+    val hashed = rows(TextQueries.substringDupsHashed(spark, sf, L = 20))
+    assert(plain.nonEmpty, "fixture should contain shared substrings")
+    assert(hashed == plain)
+  }
+
   test("IVF ANN: recall@5 vs brute force is high, never all-pairs") {
     val brute = EmbeddingQueries.knn(spark, sf).collect()
       .groupBy(_.getLong(0))
