@@ -81,6 +81,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("salted path: hot-key joins broadcast, never shuffle the band rows twice") {
+    val pages = Pages.toDS(spark, PagesGen.skew(hot = 80, background = 100)).toDF()
+    val docs = DedupPipeline.extractDocs(pages)
+    val bands = DedupPipeline.signatures(spark, docs, p).persist()
+    val (pairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue,
+      saltBlockSize = 16)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the collected hot-key dim joins as an explicit (bounded) broadcast on
+    // both the anti (cold) and inner (hot) sides — no extra band-row shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-key joins should broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"band rows must not sort-merge against hot keys in:\n$plan")
+    bands.unpersist()
+  }
+
   test("evaluator size joins: broadcast when small, shuffled when forced big") {
     import spark.implicits._
     val x = (1L to 100L).map(i => (i, i % 7)).toDF("member", "label")
