@@ -280,7 +280,7 @@ object DedupPipeline {
   /** Deterministic block of an id within a B-block bucket decomposition
     * (64-bit fmix avalanche, so consecutive/correlated ids spread evenly).
     */
-  private[pipeline] def blockOf(id: Long, nBlocks: Int): Int = {
+  def blockOf(id: Long, nBlocks: Int): Int = {
     var k = id
     k ^= k >>> 33; k *= 0xFF51AFD7ED558CCDL
     k ^= k >>> 33; k *= 0xC4CEB9FE1A85EC53L
