@@ -149,7 +149,10 @@ object MinHashDocQueries {
     val sx = x.groupBy("lx").agg(count(lit(1)).as("nx"))
     val sy = y.groupBy("ly").agg(count(lit(1)).as("ny"))
     val inter = x.join(y, "member").groupBy("lx", "ly").agg(count(lit(1)).as("i"))
-    val scored = inter.join(broadcast(sx), "lx").join(broadcast(sy), "ly")
+    // no forced broadcast hints: label-cardinality dims are small by
+    // construction here, but clustering label spaces are unbounded in
+    // general — let AQE pick the join strategy (same policy as Evaluator)
+    val scored = inter.join(sx, "lx").join(sy, "ly")
       .withColumn("p", col("i") / col("nx"))
       .withColumn("r", col("i") / col("ny"))
       .withColumn("f1", lit(2) * col("p") * col("r") / (col("p") + col("r")))

@@ -62,7 +62,28 @@ final case class DedupConfig(
     checkIdCollisions: Boolean = true,
     /** stage persistence root; None = fully in-memory (tests). */
     outputDir: Option[String] = None
-)
+) {
+  /** Stable fingerprint of every config field that determines stage
+    * CONTENTS (params + randoms identity, threshold, cluster/bucket policy,
+    * densification rounds). Salting knobs and `checkIdCollisions` are
+    * excluded — they change distribution/validation, never output — as is
+    * `outputDir`. Stored in each stage snapshot's manifest; a resume with a
+    * different fingerprint recomputes instead of silently returning stage
+    * output computed under the old config.
+    */
+  def fingerprint: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update((s"k=${params.kmerLen};c=${params.bandWidth};" +
+      s"h=${params.numHashes};p=${params.prime};tau=$jaccardThreshold;" +
+      s"minc=$minClusterSize;maxb=$maxBucketSize;si=$shinglingIterations")
+      .getBytes("UTF-8"))
+    val buf = java.nio.ByteBuffer.allocate(8)
+    params.randoms.foreach { r =>
+      buf.clear(); buf.putLong(r); md.update(buf.array())
+    }
+    md.digest().take(12).map(b => f"$b%02x").mkString
+  }
+}
 
 final case class StageMetrics(stage: String, rows: Long, millis: Long,
     extra: Map[String, Long] = Map.empty)
@@ -106,8 +127,12 @@ object DedupPipeline {
   def signatures(spark: SparkSession, docs: DataFrame,
       params: MinHashParams): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    val nativeOk = (params.randoms eq graft.core.HashRandoms.default) ||
-      params.randoms.sameElements(graft.core.HashRandoms.default)
+    // the native expression carries (kmerLen, bandWidth, numHashes) and
+    // rebuilds MinHashParams with the DEFAULT randoms AND prime — both must
+    // match or the kernel computes band keys under the wrong hash family
+    val nativeOk = (params.prime == MinHashParams.DefaultPrime) &&
+      ((params.randoms eq graft.core.HashRandoms.default) ||
+        params.randoms.sameElements(graft.core.HashRandoms.default))
     val keys =
       if (nativeOk)
         GraftSqlBridge.column(graft.functions.MinHashBandKeys(
@@ -216,7 +241,23 @@ object DedupPipeline {
           .toSeq.toDF("band", "key", "nblocks")
         val cold = bandRows.join(broadcast(hotKeys.select("band", "key")),
           Seq("band", "key"), "left_anti")
-        val hotRows = bandRows.join(broadcast(hotKeys), Seq("band", "key"))
+        val hotRows0 = bandRows.join(broadcast(hotKeys), Seq("band", "key"))
+        // maxBucketSize is a drop POLICY and must stay orthogonal to the
+        // (lossless) salting: classification above used the sampled size
+        // ESTIMATE, so enforce the cap on the salted path with EXACT counts
+        // — a bucket whose true size exceeds the cap is dropped here exactly
+        // as groupEmitPairs drops it on the cold path, keeping emission
+        // consistent with the exact `dropped` metric. Hot buckets are few by
+        // the definition of skew, so the exact count is a small extra job.
+        val hotRows =
+          if (maxBucketSize == Int.MaxValue) hotRows0
+          else {
+            val withinCap = hotRows0.groupBy("band", "key")
+              .agg(count(lit(1)).as("n_exact"))
+              .where(col("n_exact") <= maxBucketSize)
+              .select("band", "key")
+            hotRows0.join(broadcast(withinCap), Seq("band", "key"))
+          }
         groupEmitPairs(spark, cold, maxBucketSize)
           .union(saltedPairs(spark, hotRows))
           .distinct()
@@ -424,7 +465,7 @@ object DedupPipeline {
 
   /** Full run. Returns assignments (id, url, cluster, cluster_size). */
   def run(spark: SparkSession, pages: DataFrame, cfg: DedupConfig): DataFrame = {
-    val io = new StageIO(spark, cfg.outputDir)
+    val io = new StageIO(spark, cfg.outputDir, Some(cfg.fingerprint))
 
     val docs = io.stage("docs") {
       extractDocs(pages)
@@ -518,10 +559,12 @@ object DedupPipeline {
     * on a cluster the same seam becomes `df.writeTo(...)` — see
     * [[SnapshotCatalog]]'s scaladoc for the one-line mapping.
     */
-  final class StageIO(spark: SparkSession, root: Option[String]) {
+  final class StageIO(spark: SparkSession, root: Option[String],
+      fingerprint: Option[String] = None) {
     private val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
     val catalog: Option[SnapshotCatalog] =
       root.map(new SnapshotCatalog(spark, _))
+    private val FpKey = "config-fingerprint"
 
     def note(stage: String, extra: Map[String, Long]): Unit =
       metrics += StageMetrics(s"$stage/extra", 0L, 0L, extra)
@@ -530,11 +573,25 @@ object DedupPipeline {
       case None => build
       case Some(dir) =>
         val cat = catalog.get
-        cat.readLatest(name) match {
+        // resume ONLY a snapshot committed under the same config
+        // fingerprint: a rerun with changed params against the same
+        // outputDir must recompute, never return stale stage output (the
+        // old snapshot stays readable — time travel — the recompute is a
+        // new overwrite version)
+        val resumable = cat.currentVersion(name) match {
+          case 0 => None
+          case v =>
+            val snap = cat.snapshot(name, v)
+            val ok = fingerprint.forall(fp =>
+              snap.properties.get(FpKey).contains(fp))
+            if (ok) Some(cat.read(name, v)) else None
+        }
+        resumable match {
           case Some(df) => df // resume: stage already committed
           case None =>
             val t0 = System.nanoTime()
-            val snap = cat.commit(name, build)
+            val snap = cat.commit(name, build,
+              properties = fingerprint.map(FpKey -> _).toMap)
             val ms = (System.nanoTime() - t0) / 1000000
             // row count comes from the manifest's parquet footers — no
             // extra count() pass over the stage output

@@ -32,6 +32,11 @@ object HashSweep {
     *                [[VertexSketchCache]] (I2) — one cache per trajectory
     *                (test at h, base at h-delta), persisted under
     *                `<bandDir>.vertex`
+    * @param saltBlockSize / saltDetectFraction hot-band decomposition for
+    *                the per-step pair generation, same semantics as
+    *                [[DedupConfig]] — the sweep is the production driver
+    *                loop, so a hot band here would otherwise serialize its
+    *                n²/2 pairs into one task on every step
     */
   def run(
       spark: SparkSession,
@@ -42,7 +47,9 @@ object HashSweep {
       maxHashes: Int = 2000,
       threshold: Double = 0.9,
       baseParams: MinHashParams = MinHashParams(numHashes = 1),
-      shinglingIterations: Int = 1
+      shinglingIterations: Int = 1,
+      saltBlockSize: Int = 4096,
+      saltDetectFraction: Double = 0.05
   ): SweepResult = {
     require(shinglingIterations == 1 || shinglingIterations == 2,
       "the incremental vertex cache supports one densification round " +
@@ -94,7 +101,9 @@ object HashSweep {
 
     def clusterWith(numBands: Int, trajectory: String): DataFrame = {
       val bands = spark.read.parquet(bandDir).where(col("band") < numBands)
-      val (kmerPairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue)
+      val (kmerPairs, _) = DedupPipeline.candidatePairs(spark, bands,
+        Int.MaxValue, saltBlockSize = saltBlockSize,
+        saltDetectFraction = saltDetectFraction)
       val pairs = caches match {
         case None => kmerPairs
         case Some(cs) =>
@@ -102,7 +111,9 @@ object HashSweep {
           // once so the LSH join runs once per step
           val kp = kmerPairs.localCheckpoint(true)
           val vb = cs(trajectory).advance(kp, numBands)
-          val (extra, _) = DedupPipeline.candidatePairs(spark, vb, Int.MaxValue)
+          val (extra, _) = DedupPipeline.candidatePairs(spark, vb,
+            Int.MaxValue, saltBlockSize = saltBlockSize,
+            saltDetectFraction = saltDetectFraction)
           kp.union(extra).distinct()
       }
       ConnectedComponents.run(spark, pairs, docs.select("id"))
@@ -110,7 +121,16 @@ object HashSweep {
     }
 
     val steps = scala.collection.mutable.ArrayBuffer.empty[SweepStep]
-    var h = startHashes
+    // restart durability for the vertex caches mirrors the band-prefix
+    // derivation above: a killed sweep restarted at startHashes below the
+    // cache's committed hash count must NOT advance the cache backwards
+    // (monotonicity require) — resume AT the last committed test step
+    // instead (its state is exact; the step re-evaluates from there)
+    val resumeFloor = caches.map(_("test").storedHashes).getOrElse(0)
+    require(resumeFloor <= maxHashes,
+      s"vertex cache at $bandDir.vertex is at $resumeFloor hashes > " +
+      s"maxHashes=$maxHashes; wipe it or raise maxHashes")
+    var h = math.max(startHashes, resumeFloor)
     var f = 0.0
     var last: DataFrame = null
     while (f < threshold && h <= maxHashes) {

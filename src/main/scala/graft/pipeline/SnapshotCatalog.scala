@@ -44,7 +44,8 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
 
   final case class DataFileMeta(path: String, rows: Long, bytes: Long)
   final case class Snapshot(table: String, version: Int, operation: String,
-      parent: Int, files: Seq[DataFileMeta]) {
+      parent: Int, files: Seq[DataFileMeta],
+      properties: Map[String, String] = Map.empty, schemaJson: String = "") {
     def rows: Long = files.map(_.rows).sum
     def bytes: Long = files.map(_.bytes).sum
   }
@@ -66,8 +67,13 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
     * two racing writers cannot both create `v<N>.metadata.json` — the
     * second CREATE_NEW fails, exactly Iceberg's conflict semantics.
     */
+  /** @param properties caller key-values stored in the manifest (Iceberg
+    *   snapshot summary): config fingerprints, incorporated input versions —
+    *   anything a resume must validate atomically WITH the data it covers.
+    */
   def commit(table: String, df: DataFrame,
-      operation: String = "overwrite"): Snapshot = {
+      operation: String = "overwrite",
+      properties: Map[String, String] = Map.empty): Snapshot = {
     require(operation == "overwrite" || operation == "append", operation)
     val parent = currentVersion(table)
     val version = parent + 1
@@ -87,9 +93,10 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
     val carried =
       if (operation == "append" && parent > 0) snapshot(table, parent).files
       else Seq.empty
-    val snap = Snapshot(table, version, operation, parent, carried ++ newFiles)
+    val snap = Snapshot(table, version, operation, parent,
+      carried ++ newFiles, properties, df.schema.json)
     val manifest = metaDir(table).resolve(s"v$version.metadata.json")
-    Files.write(manifest, manifestJson(snap, df).getBytes("UTF-8"),
+    Files.write(manifest, manifestJson(snap).getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
 
     // 3. atomic hint swap — the commit point
@@ -100,11 +107,19 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
     snap
   }
 
-  /** Read a specific snapshot (time travel). */
+  /** Read a specific snapshot (time travel). A snapshot with zero data
+    * files still returns an empty DataFrame TYPED by the manifest's schema,
+    * so downstream column selects keep working.
+    */
   def read(table: String, version: Int): DataFrame = {
-    val files = snapshot(table, version).files.map(_.path)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    val snap = snapshot(table, version)
+    val files = snap.files.map(_.path)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else if (snap.schemaJson.isEmpty) spark.emptyDataFrame
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Read the latest snapshot, if the table exists. */
@@ -125,8 +140,18 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
       }
       case _ => Seq.empty
     }
+    val props = (j \ "properties") match {
+      case JObject(kvs) => kvs.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val schemaJson = (j \ "schema") match {
+      case JString(s) => s
+      case _ => ""
+    }
     Snapshot(table, version, (j \ "operation").extract[String],
-      (j \ "parent").extract[Int], files)
+      (j \ "parent").extract[Int], files, props, schemaJson)
   }
 
   /** All committed snapshots, oldest first. */
@@ -203,10 +228,13 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
       case c => c.toString
     }
 
-  private def manifestJson(s: Snapshot, df: DataFrame): String = {
+  private def manifestJson(s: Snapshot): String = {
     val files = s.files.map(f =>
       s"""    {"path": "${esc(f.path)}", "rows": ${f.rows}, "bytes": ${f.bytes}}""")
       .mkString("[\n", ",\n", "\n  ]")
+    val props = s.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
     s"""{
   "format-version": 1,
   "table": "${esc(s.table)}",
@@ -215,7 +243,8 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
   "operation": "${s.operation}",
   "total-rows": ${s.rows},
   "total-bytes": ${s.bytes},
-  "schema": "${esc(df.schema.json)}",
+  "schema": "${esc(s.schemaJson)}",
+  "properties": $props,
   "files": $files
 }
 """

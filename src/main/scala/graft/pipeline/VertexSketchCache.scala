@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   *   `<name>_nbrs`  — canonical (a, b) pairs incorporated so far (append)
   *   `<name>_state` — (u, h, n, mins): per node the neighbor count and the
   *                    flattened h*c minima array (overwrite per step)
+  *
+  * A step spans TWO commits (nbrs append, then state overwrite), so the
+  * state snapshot is the ATOMIC step record: its manifest carries the hash
+  * count AND the exact nbrs version it incorporated. A crash between the
+  * two commits leaves orphan nbrs rows above the recorded version; the next
+  * advance ignores them (it anti-joins against nbrs AT the recorded
+  * version), re-derives them as part of its delta, and their duplicate
+  * physical rows are harmless downstream (sketchRange deduplicates sorted
+  * neighbor runs; counts are taken from the clean delta, never the table).
   */
 final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
     name: String, params: MinHashParams) {
@@ -37,13 +46,23 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
   private val nbrsTable = s"${name}_nbrs"
   private val stateTable = s"${name}_state"
   private val c = params.bandWidth
+  private val HKey = "hashes"
+  private val NbrsVerKey = "nbrs-version"
+
+  /** Latest committed step: (hash count, incorporated nbrs version) from
+    * the state snapshot's manifest — a metadata read, no Spark job.
+    * (0, 0) = empty cache.
+    */
+  private def committedStep: (Int, Int) =
+    catalog.currentVersion(stateTable) match {
+      case 0 => (0, 0)
+      case v =>
+        val p = catalog.snapshot(stateTable, v).properties
+        (p(HKey).toInt, p(NbrsVerKey).toInt)
+    }
 
   /** Hash count the cached state was computed with (0 = empty cache). */
-  def storedHashes: Int =
-    catalog.readLatest(stateTable) match {
-      case Some(df) if !df.isEmpty => df.select(max(col("h"))).head().getInt(0)
-      case _ => 0
-    }
+  def storedHashes: Int = committedStep._1
 
   /** Incorporate `currentPairs` (the FULL current canonical pair set — the
     * cache anti-joins its stored pairs to find the delta itself) at
@@ -52,7 +71,7 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
     * same input, but incrementally.
     */
   def advance(currentPairs: DataFrame, numHashes: Int): DataFrame = {
-    val prevH = storedHashes
+    val (prevH, prevNbrsVer) = committedStep
     require(numHashes >= prevH,
       s"hash count must be monotone: cached $prevH, asked $numHashes")
     val p = params.copy(numHashes = math.max(numHashes, 1))
@@ -62,14 +81,23 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-    val stored = catalog.readLatest(nbrsTable)
+    // incorporated pairs = nbrs AT the version the committed state records,
+    // NOT latest: orphan nbrs rows from a crash between the two commits of
+    // a step must be re-treated as delta (their [0, prevH) contribution was
+    // never merged into the state)
+    val stored =
+      if (prevNbrsVer == 0) None
+      else Some(catalog.read(nbrsTable, prevNbrsVer))
     val delta = (stored match {
       case Some(s) => canonical.join(s, Seq("a", "b"), "left_anti")
       case None => canonical
     }).localCheckpoint(true)
-    catalog.commit(nbrsTable, delta,
-      operation = if (stored.isDefined) "append" else "overwrite")
-    val allPairs = catalog.readLatest(nbrsTable).get
+    // overwrite when nothing is incorporated yet: a crash before the FIRST
+    // state commit leaves orphan nbrs snapshots, and overwrite drops their
+    // files from the new version instead of carrying duplicates forward
+    val nbrsSnap = catalog.commit(nbrsTable, delta,
+      operation = if (prevNbrsVer > 0) "append" else "overwrite")
+    val allPairs = catalog.read(nbrsTable, nbrsSnap.version)
 
     // minima over the delta neighbors for the EXISTING hash range [0, prevH)
     val deltaSk =
@@ -116,9 +144,11 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
             concatUdf(col("mins"), col("nmins")).as("mins"))
       }
 
-    catalog.commit(stateTable,
-      state2.withColumn("h", lit(numHashes)).select("u", "h", "n", "mins"))
-    emitBands(catalog.readLatest(stateTable).get, p, numHashes)
+    val stateSnap = catalog.commit(stateTable,
+      state2.withColumn("h", lit(numHashes)).select("u", "h", "n", "mins"),
+      properties = Map(HKey -> numHashes.toString,
+        NbrsVerKey -> nbrsSnap.version.toString))
+    emitBands(catalog.read(stateTable, stateSnap.version), p, numHashes)
   }
 
   /** (u, v) directed expansion of canonical pairs. */

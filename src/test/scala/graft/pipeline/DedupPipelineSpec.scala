@@ -157,6 +157,34 @@ class DedupPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(metrics.contains("\"stage\":\"clusters\""))
   }
 
+  test("resume with a CHANGED config recomputes instead of returning stale stages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-refp").toString
+    val df = Pages.toDS(spark, PagesGen.micro).toDF()
+    val cfg8 = DedupConfig(params = p8, outputDir = Some(dir))
+    DedupPipeline.run(spark, df, cfg8).collect()
+
+    // same outputDir, different numHashes: every stage must recompute — the
+    // result must equal a FRESH run with the new config, not the stale h=8
+    // snapshots
+    val p16 = MinHashParams(numHashes = 16)
+    val cfg16 = DedupConfig(params = p16, outputDir = Some(dir))
+    val got = DedupPipeline.run(spark, df, cfg16).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    val want = DedupPipeline.run(spark, df,
+        DedupConfig(params = p16)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(got == want, "changed config must not resume stale snapshots")
+    // the recompute is a NEW snapshot version; the h=8 output stays
+    // readable (time travel), it is just no longer current
+    val cat = new SnapshotCatalog(spark, dir)
+    assert(cat.currentVersion("signatures") == 2)
+
+    // …and an UNCHANGED config still resumes (no third version)
+    DedupPipeline.run(spark, spark.emptyDataFrame, cfg16).collect()
+    assert(cat.currentVersion("signatures") == 2,
+      "same-config resume must reuse the committed snapshot")
+  }
+
   test("evaluator: spark fscore == serial fscore on pipeline output") {
     import spark.implicits._
     val pages = PagesGen.micro

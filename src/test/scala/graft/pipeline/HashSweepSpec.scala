@@ -91,6 +91,61 @@ class HashSweepSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == rowsAfterFirst)
   }
 
+  test("restarted sweep with shinglingIterations=2 resumes at the cached step") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep-vr").toString
+    val pages = Pages.toDS(spark, PagesGen.micro).toDF()
+    val first = HashSweep.run(spark, pages, bandDir = dir,
+      startHashes = 5, delta = 3, maxHashes = 7, threshold = 2.0,
+      shinglingIterations = 2)
+    assert(first.steps.map(_.numHashes) == Seq(5, 6, 7))
+    // "restart": same bandDir, same startHashes — the vertex caches sit at
+    // h=7 (test) / h=4 (base); re-entering the loop at h=5 used to crash on
+    // the cache's monotonicity require. It must instead resume AT the last
+    // committed test step and reproduce its assignment exactly.
+    val second = HashSweep.run(spark, pages, bandDir = dir,
+      startHashes = 5, delta = 3, maxHashes = 7, threshold = 2.0,
+      shinglingIterations = 2)
+    assert(second.steps.map(_.numHashes) == Seq(7),
+      "restart must resume at the cached hash count, not re-sweep from 5")
+    val got = second.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = first.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("sweep pair generation is salted: lossless on skew + salted plan shape") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep-skew").toString
+    val pages = Pages.toDS(spark, PagesGen.skew(hot = 80, background = 100)).toDF()
+    // salted sweep == unsalted sweep (lossless), on a corpus with a genuine
+    // hot band at saltBlockSize = 16
+    val salted = HashSweep.run(spark, pages, bandDir = dir,
+      startHashes = 5, delta = 3, maxHashes = 6, threshold = 2.0,
+      saltBlockSize = 16, saltDetectFraction = 1.0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sweep-skew2").toString
+    val unsalted = HashSweep.run(spark, pages, bandDir = dir2,
+      startHashes = 5, delta = 3, maxHashes = 6, threshold = 2.0,
+      saltBlockSize = Int.MaxValue)
+    assert(salted.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == unsalted.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+    // the exact pair stage the sweep runs (band-dir scan -> candidatePairs
+    // with the sweep's salt config) must carry the salted-plan shape:
+    // hot-key joins broadcast, band rows never sort-merged against hot keys
+    val bands = spark.read.parquet(dir).where(col("band") < 6)
+    val sized = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+    assert(sized.where(col("n") > 16).count() > 0,
+      "fixture must produce hot buckets in the sweep's band table")
+    val (pairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue,
+      saltBlockSize = 16, saltDetectFraction = 1.0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sweep pair stage must broadcast hot keys in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sweep band rows must not sort-merge against hot keys in:\n$plan")
+  }
+
   test("startHashes > maxHashes fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sweep4").toString
     val pages = Pages.toDS(spark, PagesGen.micro).toDF()

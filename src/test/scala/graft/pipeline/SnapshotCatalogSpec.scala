@@ -52,6 +52,29 @@ class SnapshotCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(cat.read("t", 1).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("snapshot properties round-trip through the manifest") {
+    val (cat, _) = freshCat()
+    val s1 = cat.commit("t", Seq(1L).toDF("id"),
+      properties = Map("config-fingerprint" -> "abc123", "h" -> "7"))
+    assert(s1.properties == Map("config-fingerprint" -> "abc123", "h" -> "7"))
+    val reread = cat.snapshot("t", 1)
+    assert(reread.properties == s1.properties)
+    // a later commit without properties doesn't inherit them
+    cat.commit("t", Seq(2L).toDF("id"))
+    assert(cat.snapshot("t", 2).properties.isEmpty)
+  }
+
+  test("zero-data-file snapshot reads back as a TYPED empty DataFrame") {
+    val (cat, _) = freshCat()
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+      .where(org.apache.spark.sql.functions.lit(false))
+    cat.commit("t", empty)
+    val got = cat.readLatest("t").get
+    // downstream column selects must keep working on the manifest schema
+    assert(got.select("id", "v").count() == 0)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
   test("manifest carries per-file lineage metrics that sum to the total") {
     val (cat, _) = freshCat()
     val df = spark.range(0, 1000, 1, 4).toDF("id") // 4 partitions → 4 files

@@ -51,6 +51,31 @@ class VertexSketchCacheSpec extends AnyFunSuite with SparkSpec {
     assert(cache.storedHashes == h)
   }
 
+  test("crash between nbrs and state commits: resume ignores orphan nbrs rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vcache3").toString
+    val cat = new SnapshotCatalog(spark, dir)
+    val e1 = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val orphan = Seq((3L, 4L), (5L, 6L)).toDF("a", "b")
+    val e2 = Seq((1L, 2L), (2L, 3L), (4L, 5L), (3L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("a", "b")
+
+    val c1 = new VertexSketchCache(spark, cat, "t", p)
+    c1.advance(e1, 4)
+    // simulate a crashed advance: the nbrs append of the next step landed
+    // but the process died before the state commit — the state snapshot
+    // still records the e1-era nbrs version
+    cat.commit("t_nbrs", orphan, operation = "append")
+
+    val c2 = new VertexSketchCache(spark, cat, "t", p)
+    assert(c2.storedHashes == 4,
+      "orphan nbrs rows must not advance the committed step")
+    val got = bandsSet(c2.advance(e2, 6))
+    val want = bandsSet(VertexShingling.vertexBandRows(spark, e2,
+      p.copy(numHashes = 6)))
+    assert(got == want,
+      "orphan pairs' [0, prevH) contribution was skipped on resume")
+  }
+
   test("a reopened cache resumes from the committed state") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vcache2").toString
     val cat = new SnapshotCatalog(spark, dir)
