@@ -86,8 +86,14 @@ object SparkEntry {
     // embedding-cosine near-dup clusters (bucketed pairs -> CC),
     // integer-exact threshold compare
     "q28_embedding_dedup" -> ((s, d) => E.embeddingDedup(s, d)),
-    // suffix-array-substring leg: doc pairs sharing length-30 substrings
-    "q29_substring_dups" -> ((s, d) => T.substringDups(s, d))
+    // suffix-array-substring leg: doc pairs sharing length-30 substrings.
+    // The gate runs the SCALE form (8-byte hashed shuffle keys + exact
+    // string verification — collision-proof, so its output is identical to
+    // the string-keyed form the oracle computes; equality is also
+    // spec-tested and plan-asserted in TextQueriesSpec/PlanSpec).
+    "q29_substring_dups" -> ((s, d) => T.substringDupsHashed(s, d)),
+    // IVF coarse quantizer (integer-exact one-step Lloyd assignment)
+    "q30_ivf_assign" -> ((s, d) => E.ivfAssign(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,6 +125,7 @@ object SparkEntry {
     "q26_nocc" -> M.noccClustersSql,
     "q27_remove_clusters" -> M.clustersAfterRemovalSql,
     "q28_embedding_dedup" -> E.embeddingDedupSql,
-    "q29_substring_dups" -> T.substringDupsSql
+    "q29_substring_dups" -> T.substringDupsSql,
+    "q30_ivf_assign" -> E.ivfAssignSql
   )
 }

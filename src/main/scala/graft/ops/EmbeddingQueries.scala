@@ -316,6 +316,112 @@ ORDER BY vec_id"""
     out
   }
 
+  /** q30 — the IVF coarse quantizer under the driver gate, restated in
+    * INTEGER-exact arithmetic so DuckDB replicates it value-for-value
+    * (the float variant [[ivf]] keeps its recall@k sbt acceptance):
+    * centroids start as the `nCells` lowest-vec_id quantized vectors, one
+    * Lloyd step updates them to the per-cell element-wise floor(mean)
+    * (double division of exact integers — IEEE-identical cross-engine),
+    * and the output is each vector's nearest updated centroid.
+    * Distances use the integer expansion |a|² + |c|² − 2⟨a,c⟩; ties break
+    * to the smaller cell id. Output (vec_id, cell).
+    */
+  def ivfAssign(spark: SparkSession, dir: String, nCells: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded driver collect: nCells rows (same fence as [[ivf]])
+    val c0: Array[Array[Long]] = e.orderBy("vec_id").limit(nCells)
+      .select("q").as[Array[Long]].collect()
+    def assignUdf(cs: Array[Array[Long]]) = udf((q: Seq[Long]) => {
+      var best = 0
+      var bestD = Long.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        var d = 0L
+        var j = 0
+        val n = math.min(c.length, q.length)
+        while (j < n) { val t = q(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i } // strict < : min cell id wins
+        i += 1
+      }
+      best
+    })
+    // one Lloyd step, distributed: per-cell element-wise floor(sum / n)
+    val moved = e.withColumn("cell", assignUdf(c0)(col("q")))
+      .select(col("cell"), col("q")).as[(Int, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, rows) =>
+        val sum = new Array[Long](Ops.EmbeddingDims)
+        var n = 0L
+        rows.foreach { case (_, q) =>
+          var j = 0
+          val m = math.min(sum.length, q.length)
+          while (j < m) { sum(j) += q(j); j += 1 }
+          n += 1
+        }
+        (cell, sum.map(s => math.floor(s.toDouble / n).toLong))
+      }
+      .collect()
+    val c1 = c0.clone() // a cell that lost every member keeps its centroid
+    moved.foreach { case (cell, c) => c1(cell) = c }
+    val out = e.withColumn("cell", assignUdf(c1)(col("q")).cast("long"))
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
+  /** The same two assignments + integer-floor Lloyd step in pure SQL. */
+  val ivfAssignSql: String = s"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qe
+  FROM embeddings
+),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, qe AS c
+  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 8)
+),
+d0 AS (
+  SELECT q.vec_id, c0.cell,
+    list_dot_product(q.qe, q.qe)::BIGINT + list_dot_product(c0.c, c0.c)::BIGINT
+      - 2 * list_dot_product(q.qe, c0.c)::BIGINT AS d
+  FROM q CROSS JOIN c0
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM d0) WHERE rn = 1
+),
+dims AS (SELECT unnest(range(1, ${Ops.EmbeddingDims + 1})) AS j),
+comp AS (
+  SELECT a0.cell, dims.j, q.qe[dims.j::INT] AS v
+  FROM a0 JOIN q USING (vec_id) CROSS JOIN dims
+),
+cm AS (
+  SELECT cell, j, floor(sum(v)::BIGINT / count(*))::BIGINT AS cv
+  FROM comp GROUP BY cell, j
+),
+c1l AS (SELECT cell, list(cv ORDER BY j) AS c FROM cm GROUP BY cell),
+c1 AS (
+  SELECT c0.cell, coalesce(c1l.c, c0.c) AS c
+  FROM c0 LEFT JOIN c1l USING (cell)
+),
+d1 AS (
+  SELECT q.vec_id, c1.cell,
+    list_dot_product(q.qe, q.qe)::BIGINT + list_dot_product(c1.c, c1.c)::BIGINT
+      - 2 * list_dot_product(q.qe, c1.c)::BIGINT AS d
+  FROM q CROSS JOIN c1
+)
+SELECT vec_id, cell::BIGINT AS cell FROM (
+  SELECT vec_id, cell,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM d1) WHERE rn = 1
+ORDER BY vec_id"""
+
   val annBucketedSql: String = {
     val planeValues = (0 until Ops.LshPlanes).map { j =>
       val cs = Ops.hyperplane(j, Ops.EmbeddingDims).mkString("[", ", ", "]")

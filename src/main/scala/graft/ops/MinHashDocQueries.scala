@@ -223,21 +223,39 @@ object MinHashDocQueries {
   /** Generic nocc operator: edges (a, b) + node universe -> overlapping
     * closed-neighborhood clusters (label, member), deduplicated by member
     * set. The set-dedup groups by the sorted member array — each group is
-    * one neighborhood, so memory is bounded by the max degree (the same
-    * bound the export itself requires).
+    * one neighborhood, so memory (and the shuffle key width) is bounded by
+    * the max degree. At web scale a celebrity node's neighborhood is one
+    * O(degree)-sized shuffle key, so `maxDegree` caps it: neighborhoods
+    * larger than the cap are DROPPED before the set-dedup, the same
+    * explicit recall/cost policy knob as pair generation's maxBucketSize
+    * (the reference materializes the full neighborhood unconditionally,
+    * `shingling_cluster_generator_optimized.cpp:350-360`).
+    * Returns (clusters, dropped) — dropped is (label, degree) of the capped
+    * neighborhoods, the drop-metrics source (empty when uncapped).
     */
-  def nocc(spark: SparkSession, edges: DataFrame,
-      nodes: DataFrame): DataFrame = {
+  def noccManaged(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+      maxDegree: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     val members = edges.select(col("a").as("label"), col("b").as("member"))
       .union(edges.select(col("b").as("label"), col("a").as("member")))
       .union(nodes.select(col("id").as("label"), col("id").as("member")))
       .distinct()
-    val sets = members.groupBy("label")
+    val degrees = members.groupBy("label").agg(count(lit(1)).as("degree"))
+    val dropped =
+      if (maxDegree == Int.MaxValue) degrees.where(lit(false))
+      else degrees.where(col("degree") > maxDegree)
+    val kept =
+      if (maxDegree == Int.MaxValue) members
+      else members.join(dropped.select("label"), Seq("label"), "left_anti")
+    val sets = kept.groupBy("label")
       .agg(sort_array(collect_list(col("member"))).as("ms"))
     val keep = sets.groupBy("ms").agg(min(col("label")).as("label"))
       .select("label")
-    members.join(keep, Seq("label"), "left_semi")
+    (kept.join(keep, Seq("label"), "left_semi"), dropped)
   }
+
+  def nocc(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+      maxDegree: Int = Int.MaxValue): DataFrame =
+    noccManaged(spark, edges, nodes, maxDegree)._1
 
   /** P7 — `clusters_to_remove` anti-filter (`shingling_cluster_generator_
     * optimized.cpp:1646-1663` shape): drop every member of the named

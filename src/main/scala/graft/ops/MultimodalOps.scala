@@ -44,8 +44,110 @@ object MultimodalOps {
     finally if (in != null) in.close()
   }
 
-  /** STUB decoder for non-image payloads — deterministic fake, NOT a real
-    * codec (audio/video libraries are absent in this container).
+  final case class AudioMeta(format: String, channels: Int,
+      sampleRateHz: Int, bitsPerSample: Int, nFrames: Long)
+  final case class VideoMeta(format: String, brand: String, timescale: Long,
+      durationTicks: Long, width: Int, height: Int)
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+  private def u64be(b: Array[Byte], o: Int): Long =
+    (u32be(b, o) << 32) | u32be(b, o + 4)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** REAL audio metadata from a RIFF/WAVE header — the fmt chunk is plain
+    * little-endian fields, no codec needed (format spec is public:
+    * multimedia.cx/mirror of the Microsoft RIFF docs). Walks the chunk list
+    * for `fmt ` (channels, sample rate, bits) and `data` (frame count =
+    * dataBytes / blockAlign). None when the bytes are not RIFF/WAVE or the
+    * fmt chunk is missing/truncated.
+    */
+  def decodeWavMeta(payload: Array[Byte]): Option[AudioMeta] = {
+    val b = payload
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
+      tag(b, 8) != "WAVE") return None
+    var o = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var dataBytes = -1L
+    while (o + 8 <= b.length) {
+      val id = tag(b, o)
+      val sz = u32le(b, o + 4)
+      if (id == "fmt " && sz >= 16 && o + 8 + 16 <= b.length)
+        fmt = Some((u16le(b, o + 10), u32le(b, o + 12).toInt,
+          u16le(b, o + 22), u16le(b, o + 20)))
+      else if (id == "data") dataBytes = sz
+      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    fmt.map { case (ch, rate, bits, blockAlign) =>
+      val frames =
+        if (dataBytes >= 0 && blockAlign > 0) dataBytes / blockAlign else -1L
+      AudioMeta("wav", ch, rate, bits, frames)
+    }
+  }
+
+  /** REAL video metadata from ISO BMFF (MP4) box headers — box framing,
+    * `ftyp` brand, `moov/mvhd` timescale+duration and `moov/trak/tkhd`
+    * 16.16-fixed-point presentation dimensions are all plain big-endian
+    * header fields, parseable without any codec (public spec: ISO/IEC
+    * 14496-12). None when the bytes are not BMFF.
+    */
+  def decodeMp4Meta(payload: Array[Byte]): Option[VideoMeta] = {
+    val b = payload
+    if (b == null || b.length < 12 || tag(b, 4) != "ftyp") return None
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var width = 0
+    var height = 0
+    def walk(from: Int, until: Int): Unit = {
+      var o = from
+      while (o + 8 <= until) {
+        val sz = u32be(b, o)
+        if (sz < 8 || o + sz > until) return // malformed: stop, keep parsed
+        val id = tag(b, o + 4)
+        id match {
+          case "ftyp" if o + 12 <= until => brand = tag(b, o + 8)
+          case "moov" | "trak" => walk(o + 8, o + sz.toInt) // containers
+          case "mvhd" if o + 12 <= until =>
+            val v = b(o + 8) & 0xFF
+            if (v == 1 && o + 8 + 4 + 16 + 12 <= until) {
+              timescale = u32be(b, o + 8 + 4 + 16)
+              duration = u64be(b, o + 8 + 4 + 20)
+            } else if (v == 0 && o + 8 + 4 + 8 + 8 <= until) {
+              timescale = u32be(b, o + 8 + 4 + 8)
+              duration = u32be(b, o + 8 + 4 + 12)
+            }
+          case "tkhd" =>
+            val v = b(o + 8) & 0xFF
+            val base = o + 8 + 4 // past version+flags
+            // v0 body: creation/mod/track/reserved/duration (20) + reserved
+            // (8) + layer/alt/volume/reserved (8) + matrix (36) = 72 to
+            // width; v1 widens the three time fields by 4 each (+12)
+            val wOff = if (v == 1) base + 84 else base + 72
+            if (wOff + 8 <= until) {
+              width = (u32be(b, wOff) >> 16).toInt // 16.16 fixed point
+              height = (u32be(b, wOff + 4) >> 16).toInt
+            }
+          case _ => ()
+        }
+        o += sz.toInt
+      }
+    }
+    walk(0, b.length)
+    Some(VideoMeta("mp4", brand, timescale, duration, width, height))
+  }
+
+  /** STUB decoder — reached ONLY by payloads no real parser claims: not an
+    * image (ImageIO), not RIFF/WAVE, not ISO BMFF. Deterministic fake dims,
+    * NOT a real codec (pixel/sample-data decoding libraries are absent in
+    * this container; header metadata above is real).
     */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
     val format =
@@ -64,10 +166,60 @@ object MultimodalOps {
     MediaMeta(format, w, ht, payload.length.toLong)
   }
 
-  /** Real decode when an image reader claims the bytes, stub otherwise. */
+  /** Real decode when a header parser claims the bytes (image via ImageIO,
+    * WAV fmt chunk, MP4 boxes), stub ONLY for unknown formats. Audio has no
+    * visual dimensions: width/height are 0 (the typed fields live in
+    * [[mediaInfo]]).
+    */
   def decode(payload: Array[Byte]): MediaMeta = {
     val p = if (payload == null) Array.emptyByteArray else payload
-    decodeImageMeta(p).getOrElse(decodeStub(p))
+    decodeImageMeta(p)
+      .orElse(decodeWavMeta(p).map(_ =>
+        MediaMeta("wav", 0, 0, p.length.toLong)))
+      .orElse(decodeMp4Meta(p).map(v =>
+        MediaMeta(v.format, v.width, v.height, p.length.toLong)))
+      .getOrElse(decodeStub(p))
+  }
+
+  /** Full typed-metadata partition pass over a mixed media column:
+    * (key, payload) -> (key, kind, format, width, height, channels,
+    * sample_rate, bits, n_frames, timescale, duration_ticks, n_bytes) with
+    * -1 for fields the modality doesn't carry. Same batch shape as
+    * [[decodeMeta]]; only the header fields are real for audio/video —
+    * sample/pixel decode still needs codecs this container lacks.
+    */
+  def mediaInfo(spark: SparkSession, df: DataFrame, keyCol: String,
+      binCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (k, payload) =>
+          val p = if (payload == null) Array.emptyByteArray else payload
+          decodeImageMeta(p) match {
+            case Some(m) =>
+              (k, "image", m.format, m.width, m.height, -1, -1, -1, -1L, -1L,
+                -1L, p.length.toLong)
+            case None => decodeWavMeta(p) match {
+              case Some(a) =>
+                (k, "audio", a.format, -1, -1, a.channels, a.sampleRateHz,
+                  a.bitsPerSample, a.nFrames, -1L, -1L, p.length.toLong)
+              case None => decodeMp4Meta(p) match {
+                case Some(v) =>
+                  (k, "video", v.format, v.width, v.height, -1, -1, -1, -1L,
+                    v.timescale, v.durationTicks, p.length.toLong)
+                case None =>
+                  val m = decodeStub(p)
+                  (k, "unknown", m.format, m.width, m.height, -1, -1, -1,
+                    -1L, -1L, -1L, p.length.toLong)
+              }
+            }
+          }
+        }
+      }
+      .toDF(keyCol, "kind", "format", "width", "height", "channels",
+        "sample_rate", "bits", "n_frames", "timescale", "duration_ticks",
+        "n_bytes")
   }
 
   /** Per-partition decode pass over a binary column: (key, payload) ->

@@ -308,27 +308,45 @@ FROM documents ORDER BY doc_id"""
       .orderBy("id_a", "id_b")
   }
 
-  /** distinct (doc_id, length-L window) — windows at every offset. */
-  private def windows(spark: SparkSession, dir: String, L: Int): DataFrame =
+  /** (doc_id, length-L window) rows at every offset, duplicates included. */
+  private def windowsRaw(spark: SparkSession, dir: String, L: Int): DataFrame =
     Ops.table(spark, dir, "documents")
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), greatest(length(col("text")) - (L - 1), lit(0))),
           i => substring(col("text"), i, lit(L)))).as("w"))
       .where(length(col("w")) === L)
-      .distinct()
 
-  /** The 10^12-scale form: 8-byte hash keys through the shuffle, candidate
-    * pairs verified by exact window equality (hash collisions cannot
-    * survive), counts over distinct verified windows.
+  /** distinct (doc_id, window) — the string-grouped oracle form's input
+    * (its distinct shuffles on the window STRING, which is exactly what the
+    * scale form below avoids).
+    */
+  private def windows(spark: SparkSession, dir: String, L: Int): DataFrame =
+    windowsRaw(spark, dir, L).distinct()
+
+  /** The 10^12-scale form: every exchange keys on 8-byte hashes, never on
+    * window strings — the per-doc window dedup groups on (doc_id,
+    * xxhash64(w)) with the strings deduped INSIDE each (tiny) group, and
+    * candidate pairs join on the hash with exact string verification (hash
+    * collisions cannot survive). Window strings still ride the shuffles as
+    * payload (the verification needs them), but sorting/comparison is all
+    * fixed-width integers.
     */
   def substringDupsHashed(spark: SparkSession, dir: String, L: Int = 30)
       : DataFrame = {
-    val w = windows(spark, dir, L)
+    val w = windowsRaw(spark, dir, L)
       .select(col("doc_id"), col("w"), xxhash64(col("w")).as("h"))
+      .groupBy("doc_id", "h")
+      .agg(array_distinct(collect_list(col("w"))).as("ws"))
+      .select(col("doc_id"), col("h"), explode(col("ws")).as("w"))
+    // exact verification as <=/>= (equivalent to equality for the non-null
+    // windows here): a plain `x.w === y.w` would be EXTRACTED by Catalyst
+    // into an equi-join KEY, putting the string back into the exchange
+    // hash/sort keys — as range predicates it stays a post-match filter on
+    // the h-keyed join, evaluated only inside (tiny) equal-hash groups
     w.as("x").join(w.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .where(col("x.w") === col("y.w")) // exact verification
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id")
+          && col("x.w") <= col("y.w") && col("x.w") >= col("y.w"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("id_a", "id_b")

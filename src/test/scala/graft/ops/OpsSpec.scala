@@ -82,6 +82,132 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(feats(2L) == null, "non-image must yield null features")
   }
 
+  test("WAV header parse: real channels/rate/bits/frames from fixture bytes") {
+    def wav(ch: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+      val blockAlign = ch * bits / 8
+      val dataSize = frames * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
+      bb.putInt(rate * blockAlign); bb.putShort(blockAlign.toShort)
+      bb.putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+      bb.array()
+    }
+    val m = MultimodalOps.decodeWavMeta(wav(2, 44100, 16, 1000)).get
+    assert(m.format == "wav" && m.channels == 2 && m.sampleRateHz == 44100)
+    assert(m.bitsPerSample == 16 && m.nFrames == 1000)
+    val mono = MultimodalOps.decodeWavMeta(wav(1, 8000, 8, 17)).get
+    assert(mono.channels == 1 && mono.sampleRateHz == 8000 &&
+      mono.bitsPerSample == 8 && mono.nFrames == 17)
+    // non-WAVE RIFF and truncated headers are refused, not misparsed
+    assert(MultimodalOps.decodeWavMeta("RIFF1234AVI ".getBytes).isEmpty)
+    assert(MultimodalOps.decodeWavMeta("RIFF1234WAVE".getBytes).isEmpty)
+    assert(MultimodalOps.decodeWavMeta(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("MP4 box parse: brand, mvhd timescale/duration, tkhd dims") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes("US-ASCII")); bb.put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isomxxxxiso2".getBytes("US-ASCII")) // brand, minor, compatible
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 + 80)
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(111); bb.putInt(222) // creation, modification
+      bb.putInt(90000) // timescale
+      bb.putInt(180000) // duration
+      box("mvhd", bb.array())
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 80)
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(1); bb.putInt(2); bb.putInt(7); bb.putInt(0) // times, id, res
+      bb.putInt(180000) // duration
+      bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36) // reserved..matrix
+      bb.putInt(640 << 16) // width, 16.16 fixed point
+      bb.putInt(360 << 16) // height
+      box("tkhd", bb.array())
+    }
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val v = MultimodalOps.decodeMp4Meta(ftyp ++ moov).get
+    assert(v.brand == "isom" && v.timescale == 90000 && v.durationTicks == 180000)
+    assert(v.width == 640 && v.height == 360)
+    assert(MultimodalOps.decodeMp4Meta("nope".getBytes).isEmpty)
+  }
+
+  test("mediaInfo routes each modality to its real parser; stub only unknown") {
+    import spark.implicits._
+    val wavBytes = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(16000); bb.putInt(32000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(0)
+      bb.array()
+    }
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(
+      (1L, bos.toByteArray),
+      (2L, wavBytes),
+      (3L, "gibberish".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val got = MultimodalOps.mediaInfo(spark, df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("kind") == "image" &&
+      got(1L).getAs[Int]("width") == 3 && got(1L).getAs[Int]("height") == 2)
+    assert(got(2L).getAs[String]("kind") == "audio" &&
+      got(2L).getAs[Int]("sample_rate") == 16000 &&
+      got(2L).getAs[Int]("channels") == 1)
+    assert(got(3L).getAs[String]("kind") == "unknown")
+  }
+
+  test("nocc degree cap drops oversized neighborhoods with metrics") {
+    import spark.implicits._
+    // star: node 0 connected to 1..20 (degree 21 closed), plus a small pair
+    val edges = ((1L to 20L).map(i => (0L, i)) ++ Seq((30L, 31L)))
+      .toDF("a", "b")
+    val nodes = (0L to 31L).toDF("id")
+    val (unc, drop0) = MinHashDocQueries.noccManaged(spark, edges, nodes)
+    assert(drop0.isEmpty)
+    val (capped, dropped) =
+      MinHashDocQueries.noccManaged(spark, edges, nodes, maxDegree = 10)
+    val droppedLabels = dropped.collect().map(_.getLong(0)).toSet
+    assert(droppedLabels == Set(0L), "only the hub's neighborhood exceeds 10")
+    val cappedLabels = capped.select("label").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!cappedLabels.contains(0L))
+    // untouched clusters are identical to the uncapped run
+    def rowsOf(df: org.apache.spark.sql.DataFrame, label: Long) =
+      df.where($"label" === label).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowsOf(capped, 30L) == rowsOf(unc, 30L))
+  }
+
+  test("ivfAssign: every vector gets one deterministic cell in [0, 8)") {
+    val sf = "/root/testdata/sf0.001"
+    val n = Ops.table(spark, sf, "embeddings").count()
+    val a = EmbeddingQueries.ivfAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.length == n)
+    assert(a.forall { case (_, c) => c >= 0 && c < 8 })
+    assert(a.map(_._2).distinct.length > 1, "degenerate single-cell split")
+    val again = EmbeddingQueries.ivfAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.toSeq == again.toSeq, "assignment must be deterministic")
+  }
+
   test("frame sampling emits n deterministic slices per row") {
     import spark.implicits._
     val df = Seq((1L, ("AB" * 100).getBytes("UTF-8"))).toDF("id", "payload")

@@ -97,6 +97,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     bands.unpersist()
   }
 
+  test("q29 gate form shuffles 8-byte hash keys, never window strings") {
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      def partitionKeys(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val plan = df.queryExecution.executedPlan.toString
+        "(?:hash|range)partitioning\\(([^)]*)\\)".r
+          .findAllMatchIn(plan).map(_.group(1)).toSeq
+      }
+      // the scale form partitions on the 8-byte xxhash64 key h
+      val hashedKeys = partitionKeys(graft.ops.TextQueries
+        .substringDupsHashed(spark, dir))
+      assert(hashedKeys.exists(_.matches(".*\\bh#\\d+L.*")),
+        s"expected an h-keyed exchange, got: $hashedKeys")
+      assert(!hashedKeys.exists(_.contains("w#")),
+        s"window strings must never be shuffle KEYS in the gate form: $hashedKeys")
+      // contrast: the string-keyed oracle form does partition on w
+      val stringKeys = partitionKeys(graft.ops.TextQueries
+        .substringDups(spark, dir))
+      assert(stringKeys.exists(_.contains("w#")),
+        s"sanity: the string form should key on w: $stringKeys")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("evaluator size joins: broadcast when small, shuffled when forced big") {
     import spark.implicits._
     val x = (1L to 100L).map(i => (i, i % 7)).toDF("member", "label")
