@@ -37,22 +37,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // headline: end-to-end dedup throughput on a fresh stage dir
-    val stageDir = java.nio.file.Files
-      .createTempDirectory("graft-bench").toString
-    val pages = PagesGen.benchDF(spark, benchDocs).toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPages = pages.count() // materialize corpus outside the timed window
     val withStages = sys.env.getOrElse("BENCH_STAGES", "true").toBoolean
-    val cfg = DedupConfig(
-      params = MinHashParams(numHashes = benchHashes),
-      jaccardThreshold = 0.5,
-      maxBucketSize = 100000,
-      outputDir = if (withStages) Some(stageDir) else None)
-    val t0 = System.nanoTime()
-    val nOut = DedupPipeline.run(spark, pages, cfg).count()
-    val pipeSec = (System.nanoTime() - t0) / 1e9
-    pages.unpersist()
+    // end-to-end dedup throughput on a fresh stage dir; corpus generation
+    // is materialized outside the timed window
+    def runPipeline(nDocs: Int, hashes: Int): (Long, Long, Double) = {
+      val stageDir = java.nio.file.Files
+        .createTempDirectory("graft-bench").toString
+      val pages = PagesGen.benchDF(spark, nDocs).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPages = pages.count()
+      val cfg = DedupConfig(
+        params = MinHashParams(numHashes = hashes),
+        jaccardThreshold = 0.5,
+        maxBucketSize = 100000,
+        outputDir = if (withStages) Some(stageDir) else None)
+      val t0 = System.nanoTime()
+      val nOut = DedupPipeline.run(spark, pages, cfg).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      pages.unpersist()
+      (nOut, nPages, sec)
+    }
+    val (nOut, nPages, pipeSec) = runPipeline(benchDocs, benchHashes)
+    // BASELINE.md operating point (4M docs, 41 hashes, tau 0.5, stages on)
+    // so the per-round bench artifact is row-for-row comparable with the
+    // hand-measured scaling pairs; BENCH_HEADLINE_DOCS=0 skips it
+    val headlineDocs = sys.env.getOrElse("BENCH_HEADLINE_DOCS", "4000000").toInt
+    val headline =
+      if (headlineDocs <= 0) None
+      else Some(runPipeline(headlineDocs, 41))
 
     val toRun = if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1)
       else Seq.empty
@@ -78,12 +90,17 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum + pipeSec
-    val pipe = f"""{"docs":$nOut,"input_docs":$nPages,""" +
-      f""""seconds":$pipeSec%.3f,"docs_per_sec":${nOut / pipeSec}%.1f}"""
+    val total = results.map(_._2).filter(_ >= 0).sum + pipeSec +
+      headline.map(_._3).getOrElse(0.0)
+    def pipeJson(t: (Long, Long, Double)): String =
+      f"""{"docs":${t._1},"input_docs":${t._2},""" +
+        f""""seconds":${t._3}%.3f,"docs_per_sec":${t._1 / t._3}%.1f}"""
+    val pipe = pipeJson((nOut, nPages, pipeSec))
+    val head = headline.map(h => s""""pipeline_4m":${pipeJson(h)},""")
+      .getOrElse("")
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      s""""queries":$qs,"pipeline":$pipe,"failed":$failed,""" +
+      s""""queries":$qs,"pipeline":$pipe,$head"failed":$failed,""" +
       s""""cores":$cpus,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

@@ -34,12 +34,21 @@ final class UnionFind {
   }
 
   /** node -> min member id of its component (the cluster-label contract). */
-  def componentsByMinLabel(): Map[Long, Long] = {
+  def componentsByMinLabel(): Map[Long, Long] =
+    labelPairs().toMap
+
+  /** Same labeling as an array of (node, minLabel) pairs — no immutable-Map
+    * overhead, for multi-million-node driver-side finishes.
+    */
+  def labelPairs(): Array[(Long, Long)] = {
     val minOf = mutable.LongMap.empty[Long]
     parent.keys.foreach { n =>
       val r = find(n)
       minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), n)
     }
-    parent.keys.map(n => n -> minOf(find(n))).toMap
+    val out = new Array[(Long, Long)](parent.size)
+    var i = 0
+    parent.keys.foreach { n => out(i) = (n, minOf(find(n))); i += 1 }
+    out
   }
 }

@@ -29,10 +29,20 @@ object ConnectedComponents {
     *              every pipeline stage that feeds CC: pair generation emits
     *              canonical pairs and verify/densify preserve them) — skips
     *              a full canonicalize+distinct shuffle of the edge set
+    * @param driverFinishMaxEdges when > 0 and the (exact, post-checkpoint)
+    *              edge count is at or below it, skip the distributed loop
+    *              and finish with serial union-find on the driver: one
+    *              collect instead of O(log n) latency-bound star
+    *              iterations. The right move whenever the EDGE set fits one
+    *              node comfortably — at the 10^12-row operating point the
+    *              gate simply never engages. 0 (default) = always
+    *              distribute; [[DedupPipeline.run]] opts in via
+    *              [[DedupConfig.ccDriverFinishMaxEdges]].
     * @return DataFrame(id: long, component: long), component = min member id
     */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
-      maxIter: Int = 64, assumeCanonical: Boolean = false): DataFrame = {
+      maxIter: Int = 64, assumeCanonical: Boolean = false,
+      driverFinishMaxEdges: Long = 0L): DataFrame = {
     import spark.implicits._
     var cur = (if (assumeCanonical) edges.select(col("a"), col("b"))
       else edges
@@ -43,28 +53,65 @@ object ConnectedComponents {
       .as[(Long, Long)]
       .localCheckpoint(true)
 
+    if (driverFinishMaxEdges > 0 && cur.count() <= driverFinishMaxEdges) {
+      val uf = new graft.core.UnionFind
+      cur.collect().foreach { case (a, b) => uf.union(a, b) }
+      cur.unpersist() // the labeling below no longer references the edges
+      val labels = scala.collection.mutable.LongMap.empty[Long]
+      uf.labelPairs().foreach { case (n, l) => labels(n) = l }
+      // label map fits the driver by the gate's definition — broadcast it
+      // and label nodes in a single map pass (no assignment-join shuffle)
+      val bc = spark.sparkContext.broadcast(labels)
+      val labelOf = udf((id: Long) => bc.value.getOrElse(id, id))
+      return nodes.select(col("id").cast("long"))
+        .select(col("id"), labelOf(col("id")).as("component"))
+    }
+
     val debug = sys.env.get("GRAFT_CC_DEBUG").exists(_.toBoolean)
     var prevSig: (Long, Long) = (-1L, 0L)
     var iter = 0
     var converged = cur.isEmpty
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
-      val next = smallStar(spark, largeStar(spark, cur)).localCheckpoint(true)
-      val t1 = System.nanoTime()
       // order-independent, overflow-free edge-set signature (edges are
       // distinct within groups; duplicate emissions across groups are
       // impossible for small-star and harmless-rare for large-star, and a
-      // stable signature still certifies a stable edge multiset)
-      val sigRow = next.toDF("a", "b")
-        .agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
-      val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+      // stable signature still certifies a stable edge multiset).
+      // ONE job per iteration: count() both materializes the persisted
+      // edges and (via CollectMetrics — exactly-once, unlike raw
+      // accumulators) delivers the xor half of the signature, instead of
+      // the previous eager-checkpoint job + separate aggregate job. The
+      // saved job launch is input-size-invariant, exactly the fixed
+      // latency that made CC the only negatively-thread-scaling stage.
+      // persist (not localCheckpoint) keeps per-iteration recompute
+      // lineage for executor loss on a real cluster (rooted at — and still
+      // fragile at — the input localCheckpoint above; swap that root for a
+      // reliable checkpoint / stage table when running with preemption).
+      val obs = new org.apache.spark.sql.Observation(s"cc_sig_$iter")
+      val next = smallStar(spark, largeStar(spark, cur))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the CollectMetrics node lives only in this forked count plan — it
+      // must NOT stay in `next`'s lineage, or two CC results meeting in one
+      // downstream query collide on the metric name (DUPLICATED_METRICS_NAME)
+      val n = next
+        .observe(obs, bit_xor(xxhash64(col("_1"), col("_2"))).as("x"))
+        .count()
+      val sig = (n, observedXor(obs).getOrElse {
+        // defensive: if count() ever stops reporting to the metrics
+        // listener (Spark-version behavior), fall back to the explicit
+        // aggregate — correct, one extra (cached-read) job
+        sigFallbacks += 1
+        val r = next.toDF("a", "b")
+          .agg(bit_xor(xxhash64(col("a"), col("b")))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      })
       converged = sig == prevSig
       prevSig = sig
       cur.unpersist()
       cur = next
       iter += 1
       if (debug) System.err.println(
-        f"[cc] iter $iter: stars ${(t1 - t0) / 1e9}%.2fs sig ${(System.nanoTime() - t1) / 1e9}%.2fs edges ${sig._1}")
+        f"[cc] iter $iter: ${(System.nanoTime() - t0) / 1e9}%.2fs edges ${sig._1}")
     }
     // a non-converged star forest is silently WRONG (nodes may carry a
     // non-minimal label) — fail loudly; large/small-star converges in
@@ -82,6 +129,29 @@ object ConnectedComponents {
     nodes.select(col("id").cast("long"))
       .join(assigned, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Times the observed-signature path fell back to an explicit aggregate
+    * (perf telemetry; spec-asserted 0 so a Spark behavior change can't
+    * silently reintroduce the two-jobs-per-iteration cost).
+    */
+  @volatile private[pipeline] var sigFallbacks: Long = 0L
+
+  /** The observed xor signature, polled bounded: the action has already
+    * completed when this runs, so the listener dispatch is milliseconds
+    * away — None only if the metrics never arrive (bounded wait, never a
+    * hang).
+    */
+  private def observedXor(obs: org.apache.spark.sql.Observation)
+      : Option[Long] = {
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(10, "s"))
+      Some(if (row.isNullAt(row.fieldIndex("x"))) 0L
+        else row.getAs[Long]("x"))
+    } catch {
+      case _: java.util.concurrent.TimeoutException => None
+    }
   }
 
   /** Stream sorted (u, v) rows as per-u groups, emitting re-linked edges.

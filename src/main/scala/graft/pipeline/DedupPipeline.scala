@@ -60,14 +60,20 @@ final case class DedupConfig(
     /** verify id = xxhash64(url) is collision-free (one count+countDistinct
       * pass over docs) and fail loudly otherwise. */
     checkIdCollisions: Boolean = true,
+    /** CC finishes with serial union-find on the driver when the verified
+      * edge set is at or below this count (~16 B/edge on the wire, so the
+      * default bounds the collect at ~64 MB): one job instead of O(log n)
+      * latency-bound star iterations. Never engages at web scale; 0
+      * disables. */
+    ccDriverFinishMaxEdges: Long = 1L << 22,
     /** stage persistence root; None = fully in-memory (tests). */
     outputDir: Option[String] = None
 ) {
   /** Stable fingerprint of every config field that determines stage
     * CONTENTS (params + randoms identity, threshold, cluster/bucket policy,
-    * densification rounds). Salting knobs and `checkIdCollisions` are
-    * excluded — they change distribution/validation, never output — as is
-    * `outputDir`. Stored in each stage snapshot's manifest; a resume with a
+    * densification rounds). Salting knobs, `ccDriverFinishMaxEdges` and
+    * `checkIdCollisions` are excluded — they change
+    * distribution/validation, never output — as is `outputDir`. Stored in each stage snapshot's manifest; a resume with a
     * different fingerprint recomputes instead of silently returning stage
     * output computed under the old config.
     */
@@ -528,7 +534,8 @@ object DedupPipeline {
       // pair generation emits canonical distinct (a < b) pairs and
       // verify/densify preserve that — skip CC's canonicalize shuffle
       ConnectedComponents.run(spark, pairs, docs.select("id"),
-        assumeCanonical = true)
+        assumeCanonical = true,
+        driverFinishMaxEdges = cfg.ccDriverFinishMaxEdges)
     }
     // the pairs have been fully materialized by now (stage write, or the
     // eager localCheckpoint of CC's first iteration) — release the verify

@@ -49,7 +49,8 @@ object HashSweep {
       baseParams: MinHashParams = MinHashParams(numHashes = 1),
       shinglingIterations: Int = 1,
       saltBlockSize: Int = 4096,
-      saltDetectFraction: Double = 0.05
+      saltDetectFraction: Double = 0.05,
+      ccDriverFinishMaxEdges: Long = 1L << 22
   ): SweepResult = {
     require(shinglingIterations == 1 || shinglingIterations == 2,
       "the incremental vertex cache supports one densification round " +
@@ -116,7 +117,8 @@ object HashSweep {
             saltDetectFraction = saltDetectFraction)
           kp.union(extra).distinct()
       }
-      ConnectedComponents.run(spark, pairs, docs.select("id"))
+      ConnectedComponents.run(spark, pairs, docs.select("id"),
+          driverFinishMaxEdges = ccDriverFinishMaxEdges)
         .select(col("id").as("member"), col("component").as("label"))
     }
 

@@ -1,4 +1,6 @@
 package graft.pipeline
+// (iteration signatures are observed during the checkpoint job — see the
+// fallback-counter assertion at the bottom of this suite)
 
 import graft.SparkSpec
 import graft.core.UnionFind
@@ -71,5 +73,32 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     val nodes = Seq(100L, 1L, 2L, 3L, 4L)
     val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L))
     assert(ccOf(edges, nodes).values.toSet == Set(1L))
+  }
+
+  test("driver union-find finish == distributed star loop == oracle") {
+    val rng = new scala.util.Random(47)
+    for (trial <- 0 until 3) {
+      val nodes = (0L until 150L).toSeq
+      val edges = (0 until 120).map(_ =>
+        (rng.nextInt(150).toLong, rng.nextInt(150).toLong))
+      def runWith(gate: Long) = ConnectedComponents.run(spark,
+        edges.toDF("a", "b"), nodes.toDF("id"),
+        driverFinishMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val driver = runWith(1L << 20) // gate engages: serial union-find
+      val distributed = runWith(0L) // gate off: star loop
+      assert(driver == distributed, s"trial $trial paths diverge")
+      assert(driver == oracle(edges, nodes), s"trial $trial vs oracle")
+    }
+  }
+
+  test("iteration signatures come from the checkpoint job (no fallback aggregate)") {
+    ConnectedComponents.sigFallbacks = 0L
+    val nodes = (0L until 200L).toSeq
+    val edges = nodes.grouped(5).flatMap(g =>
+      g.sliding(2).map(s => (s(0), s(1)))).toSeq
+    ccOf(edges, nodes) // several iterations
+    assert(ConnectedComponents.sigFallbacks == 0L,
+      "observed metrics did not resolve — CC is paying 2 jobs per iteration")
   }
 }
