@@ -83,20 +83,19 @@ object MinHashDocQueries {
     */
   def jaccard(spark: SparkSession, dir: String): DataFrame = {
     val k = Ops.KmerLen
-    // pairs feeds two join sides — persist so the LSH self-join runs once;
-    // per-pair merge-count over sorted sets (see DedupPipeline.verifyPairs)
+    // fully lazy single plan: pairs appear once (sequential joins), the
+    // sets subtree is map-only and appears per join side — re-deriving it
+    // costs less than persist+eager-checkpoint job latency at gate scale,
+    // and leaves no cache behind in a long-lived session. The managed
+    // scale path (persisted packed sets, semi-join pruning, explicit
+    // cache release) is [[DedupPipeline.verifyPairsManaged]].
     val pairs = lshPairs(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val setOf = udf((t: String) => Shingler.shingleSet(t, k))
     val sets = normalizedDocs(spark, dir)
       .select(col("doc_id"), setOf(col("t")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val interOf = udf((x: Array[Long], y: Array[Long]) =>
       Shingler.intersectionSize(x, y).toLong)
-    // eager localCheckpoint materializes the (small) per-pair result so the
-    // cached intermediates can be released before returning — a long-lived
-    // session (Bench/Verify run 22 queries) must not accumulate cache
-    val out = pairs
+    pairs
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -104,10 +103,7 @@ object MinHashDocQueries {
         (size(col("sha")) + size(col("shb"))).cast("long").as("apb"))
       .select(col("id_a"), col("id_b"), col("inter_size"),
         (col("apb") - col("inter_size")).as("union_size"))
-      .localCheckpoint(true)
-    pairs.unpersist()
-    sets.unpersist()
-    out.orderBy("id_a", "id_b")
+      .orderBy("id_a", "id_b")
   }
 
   /** (cluster_id, n) for clusters with >= 2 members — the reference's

@@ -62,10 +62,11 @@ final case class DedupConfig(
     checkIdCollisions: Boolean = true,
     /** CC finishes with serial union-find on the driver when the verified
       * edge set is at or below this count (~16 B/edge on the wire, so the
-      * default bounds the collect at ~64 MB): one job instead of O(log n)
-      * latency-bound star iterations. Never engages at web scale; 0
-      * disables. */
-    ccDriverFinishMaxEdges: Long = 1L << 22,
+      * default bounds the collect at ~134 MB / a few hundred MB of driver
+      * objects — comfortably inside any production driver): one job
+      * instead of O(log n) latency-bound star iterations. Never engages at
+      * web scale; 0 disables. */
+    ccDriverFinishMaxEdges: Long = 1L << 23,
     /** stage persistence root; None = fully in-memory (tests). */
     outputDir: Option[String] = None
 ) {

@@ -50,7 +50,7 @@ object HashSweep {
       shinglingIterations: Int = 1,
       saltBlockSize: Int = 4096,
       saltDetectFraction: Double = 0.05,
-      ccDriverFinishMaxEdges: Long = 1L << 22
+      ccDriverFinishMaxEdges: Long = 1L << 23
   ): SweepResult = {
     require(shinglingIterations == 1 || shinglingIterations == 2,
       "the incremental vertex cache supports one densification round " +
