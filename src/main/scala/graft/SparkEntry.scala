@@ -93,7 +93,10 @@ object SparkEntry {
     // spec-tested and plan-asserted in TextQueriesSpec/PlanSpec).
     "q29_substring_dups" -> ((s, d) => T.substringDupsHashed(s, d)),
     // IVF coarse quantizer (integer-exact one-step Lloyd assignment)
-    "q30_ivf_assign" -> ((s, d) => E.ivfAssign(s, d))
+    "q30_ivf_assign" -> ((s, d) => E.ivfAssign(s, d)),
+    // true LCS >= 30 per candidate pair (suffix-array semantics via
+    // diagonal window runs)
+    "q31_substring_lcs" -> ((s, d) => T.substringLcs(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -126,6 +129,7 @@ object SparkEntry {
     "q27_remove_clusters" -> M.clustersAfterRemovalSql,
     "q28_embedding_dedup" -> E.embeddingDedupSql,
     "q29_substring_dups" -> T.substringDupsSql,
-    "q30_ivf_assign" -> E.ivfAssignSql
+    "q30_ivf_assign" -> E.ivfAssignSql,
+    "q31_substring_lcs" -> T.substringLcsSql
   )
 }

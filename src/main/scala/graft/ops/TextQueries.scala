@@ -352,6 +352,68 @@ FROM documents ORDER BY doc_id"""
       .orderBy("id_a", "id_b")
   }
 
+  /** True longest-common-substring (>= L) per candidate doc pair — the
+    * suffix-array LCS semantics, restated relationally: a shared substring
+    * of length M >= L is exactly a run of M-L+1 shared length-L windows at
+    * consecutive positions on one (posA - posB) diagonal, so
+    * LCS = L - 1 + max diagonal run. One window-function pass over the
+    * matched window occurrences (the standard gaps-and-islands trick);
+    * same 8-byte-hash join discipline as [[substringDupsHashed]].
+    * Output (id_a, id_b, lcs_len) for pairs sharing >= 1 window.
+    * (Repetitive text inflates occurrence matches quadratically — the same
+    * blowup a suffix-array's equal-run LCP intervals have; cap L up.)
+    */
+  def substringLcs(spark: SparkSession, dir: String, L: Int = 30): DataFrame =
+    substringLcsDf(Ops.table(spark, dir, "documents"), L)
+
+  /** [[substringLcs]] over any (doc_id, text) frame (unit-test surface). */
+  def substringLcsDf(documents: DataFrame, L: Int): DataFrame = {
+    val occ = documents
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), greatest(length(col("text")) - (L - 1), lit(0))),
+        i => substring(col("text"), i, lit(L)))).as(Seq("idx", "w")))
+      .where(length(col("w")) === L)
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"),
+        col("w"), xxhash64(col("w")).as("h"))
+    val m = occ.as("x").join(occ.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id")
+          && col("x.w") <= col("y.w") && col("x.w") >= col("y.w"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(byDiag))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("id_a", "id_b")
+      .agg((lit(L - 1) + max(col("run"))).cast("long").as("lcs_len"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val substringLcsSql: String = """
+WITH occ AS (
+  SELECT doc_id, i AS pos, substr(text, i::INT, 30) AS w
+  FROM (SELECT doc_id, text,
+          unnest(range(1, greatest(length(text) - 29, 0) + 1)) AS i
+        FROM documents)
+  WHERE length(substr(text, i::INT, 30)) = 30
+),
+m AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.pos AS pa,
+    (x.pos - y.pos) AS diag
+  FROM occ x JOIN occ y ON x.w = y.w AND x.doc_id < y.doc_id
+),
+r AS (
+  SELECT id_a, id_b, diag, pa,
+    pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b, count(*) AS run FROM r GROUP BY id_a, id_b, diag, grp
+)
+SELECT id_a, id_b, (29 + max(run))::BIGINT AS lcs_len
+FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b"""
+
   val substringDupsSql: String = """
 WITH w AS (
   SELECT DISTINCT doc_id, substr(text, i::INT, 30) AS w

@@ -226,6 +226,41 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(hashed == plain)
   }
 
+  test("substring LCS: diagonal-run algebra == brute-force LCS (>= L)") {
+    import spark.implicits._
+    def bruteLcs(a: String, b: String): Int = {
+      // O(|a||b|) dynamic program — the test oracle
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val rng = new scala.util.Random(53)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    val shared1 = rand(17)
+    val shared2 = rand(9)
+    val docs = Seq(
+      (1L, rand(30) + shared1 + rand(25)),
+      (2L, rand(12) + shared1 + rand(40) + shared2),
+      (3L, shared2 + rand(50)),
+      (4L, rand(60))
+    )
+    val L = 6
+    val got = TextQueries.substringLcsDf(docs.toDF("doc_id", "text"), L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for {
+      i <- docs.indices; j <- i + 1 until docs.size
+      lcs = bruteLcs(docs(i)._2, docs(j)._2)
+      if lcs >= L
+    } yield (docs(i)._1, docs(j)._1) -> lcs.toLong).toMap
+    assert(got == want,
+      s"diagonal-run LCS diverged from DP oracle: got $got want $want")
+  }
+
   test("IVF ANN: recall@5 vs brute force is high, never all-pairs") {
     val brute = EmbeddingQueries.knn(spark, sf).collect()
       .groupBy(_.getLong(0))
