@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft.pipeline.SnapshotCatalog
 
 import graft.core.{MinHashParams, Shingler}
 import graft.pipeline.DedupPipeline
@@ -21,7 +23,7 @@ object ProfVerify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cat = new graft.pipeline.SnapshotCatalog(spark, dir)
+    val cat = new SnapshotCatalog(spark, dir)
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
