@@ -61,6 +61,36 @@ object HashSweep {
     val docs = DedupPipeline.extractDocs(pages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // the band table and vertex caches are only valid under the hash
+    // family they were computed with — a restart against the same bandDir
+    // with different params would silently append rows from a DIFFERENT
+    // sketch space. Fingerprint the family on first write; mismatch on
+    // restart fails loudly (same invalidation discipline as the stage
+    // snapshots' config fingerprint, see DedupConfig.fingerprint).
+    {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update((s"k=${baseParams.kmerLen};c=${baseParams.bandWidth};" +
+        s"p=${baseParams.prime};si=$shinglingIterations").getBytes("UTF-8"))
+      val buf = java.nio.ByteBuffer.allocate(8)
+      baseParams.randoms.foreach { r =>
+        buf.clear(); buf.putLong(r); md.update(buf.array())
+      }
+      val fp = md.digest().take(12).map(b => f"$b%02x").mkString
+      val fpFile = java.nio.file.Paths.get(bandDir, ".params-fingerprint")
+      if (java.nio.file.Files.exists(fpFile)) {
+        val stored = new String(
+          java.nio.file.Files.readAllBytes(fpFile), "UTF-8").trim
+        if (stored != fp) throw new IllegalStateException(
+          s"bandDir $bandDir was materialized under a different hash " +
+          s"family/config (stored $stored, current $fp) — its band rows " +
+          "and vertex caches are not valid for these params; clean the " +
+          "directory or use a fresh bandDir")
+      } else {
+        java.nio.file.Files.createDirectories(fpFile.getParent)
+        java.nio.file.Files.write(fpFile, fp.getBytes("UTF-8"))
+      }
+    }
+
     // restart durability: band rows are appended per hash index, so the
     // already-materialized prefix must be derived from the existing
     // `band=<i>` partitions — a killed sweep restarted with an in-memory

@@ -146,6 +146,21 @@ class HashSweepSpec extends AnyFunSuite with SparkSpec {
       s"sweep band rows must not sort-merge against hot keys in:\n$plan")
   }
 
+  test("restarting a sweep with a different hash family fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep-fp").toString
+    val pages = Pages.toDS(spark, PagesGen.micro).toDF()
+    HashSweep.run(spark, pages, bandDir = dir,
+      startHashes = 5, delta = 3, maxHashes = 5, threshold = 2.0)
+    // same params: restart is fine (covered above); different kmerLen: the
+    // existing band rows were computed in a different sketch space
+    val ex = intercept[IllegalStateException] {
+      HashSweep.run(spark, pages, bandDir = dir,
+        startHashes = 5, delta = 3, maxHashes = 5, threshold = 2.0,
+        baseParams = graft.core.MinHashParams(kmerLen = 5, numHashes = 1))
+    }
+    assert(ex.getMessage.contains("different hash family"))
+  }
+
   test("startHashes > maxHashes fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sweep4").toString
     val pages = Pages.toDS(spark, PagesGen.micro).toDF()
