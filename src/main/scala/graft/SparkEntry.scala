@@ -96,7 +96,12 @@ object SparkEntry {
     "q30_ivf_assign" -> ((s, d) => E.ivfAssign(s, d)),
     // true LCS >= 30 per candidate pair (suffix-array semantics via
     // diagonal window runs)
-    "q31_substring_lcs" -> ((s, d) => T.substringLcs(s, d))
+    "q31_substring_lcs" -> ((s, d) => T.substringLcs(s, d)),
+    // composed curation pass: exact-dedup canonicality + quality gates,
+    // first failing gate = reject reason
+    "q32_curation" -> ((s, d) => T.curation(s, d)),
+    // per-language corpus rollup (docs, token/char totals, longest doc)
+    "q33_corpus_stats" -> ((s, d) => T.corpusStats(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,6 +135,8 @@ object SparkEntry {
     "q28_embedding_dedup" -> E.embeddingDedupSql,
     "q29_substring_dups" -> T.substringDupsSql,
     "q30_ivf_assign" -> E.ivfAssignSql,
-    "q31_substring_lcs" -> T.substringLcsSql
+    "q31_substring_lcs" -> T.substringLcsSql,
+    "q32_curation" -> T.curationSql,
+    "q33_corpus_stats" -> T.corpusStatsSql
   )
 }

@@ -282,6 +282,113 @@ SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
 FROM documents ORDER BY doc_id"""
 
+  // ------------------------------------------------------ corpus curation --
+
+  /** The composed training-data curation pass — the end-to-end shape a
+    * 100 TB webtext pipeline runs per document: exact-dedup canonicality,
+    * then length / alpha-ratio / stopword quality gates, with the FIRST
+    * failing gate recorded as the reject reason. All predicates are
+    * integer-exact so the whole composition sits under the DuckDB gate.
+    * Output (doc_id, reason, kept).
+    */
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    val d = Ops.table(spark, dir, "documents").select("doc_id", "text")
+    val canon = d.groupBy("text").agg(min(col("doc_id")).as("canonical_id"))
+    val toks = split(trim(col("text")), "\\s+")
+    val stop = typedLit(Ops.Stopwords)
+    d.join(canon, "text")
+      .select(col("doc_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+          .as("n_alpha"),
+        size(filter(toks, t => array_contains(stop, t))).cast("long")
+          .as("n_stopwords"))
+      .withColumn("reason",
+        when(!col("is_canonical"), "duplicate")
+          .when(col("n_chars") < 50, "too_short")
+          .when(col("n_chars") > lit(2) * col("n_alpha"), "low_alpha")
+          .when(col("n_stopwords") === 0, "no_stopwords")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("reason"),
+        when(col("reason") === "ok", 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val curationSql: String = s"""
+WITH canon AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+    length(text)::BIGINT AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        t -> list_contains(${Ops.sqlStringList(Ops.Stopwords)}, t)))::BIGINT
+      AS n_stopwords
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id,
+    CASE WHEN doc_id <> canonical_id THEN 'duplicate'
+         WHEN n_chars < 50 THEN 'too_short'
+         WHEN n_chars > 2 * n_alpha THEN 'low_alpha'
+         WHEN n_stopwords = 0 THEN 'no_stopwords'
+         ELSE 'ok' END AS reason
+  FROM canon
+)
+SELECT doc_id, reason,
+  (CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM flagged ORDER BY doc_id"""
+
+  /** Corpus-level statistics per predicted language — the rollup a curation
+    * run reports (doc counts, token/char totals, longest doc).
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    def cnt(markers: Seq[String]): Column =
+      size(filter(toks, t => array_contains(typedLit(markers), t))).cast("long")
+    val Seq(en, de, fr, es) = Ops.LangMarkers.map(m => cnt(m._2))
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), en.as("c_en"), de.as("c_de"),
+        fr.as("c_fr"), es.as("c_es"))
+      .withColumn("pred_lang",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr")
+          && col("c_en") >= col("c_es"), "en")
+          .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+          .when(col("c_fr") >= col("c_es"), "fr")
+          .otherwise("es"))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))).cast("long")
+          .as("total_ws_tokens"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        max(length(col("text"))).cast("long").as("max_chars"))
+      .orderBy("pred_lang")
+  }
+
+  val corpusStatsSql: String = {
+    def cnt(markers: Seq[String]): String =
+      s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        s"t -> list_contains(${Ops.sqlStringList(markers)}, t)))::BIGINT"
+    val Seq(en, de, fr, es) = Ops.LangMarkers.map(m => cnt(m._2))
+    s"""
+WITH c AS (
+  SELECT doc_id, text, $en AS c_en, $de AS c_de, $fr AS c_fr, $es AS c_es
+  FROM documents
+),
+langd AS (
+  SELECT *,
+    CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+         WHEN c_fr >= c_es THEN 'fr'
+         ELSE 'es' END AS pred_lang
+  FROM c
+)
+SELECT pred_lang, count(*) AS n_docs,
+  sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS total_ws_tokens,
+  sum(length(text))::BIGINT AS total_chars,
+  max(length(text))::BIGINT AS max_chars
+FROM langd GROUP BY pred_lang ORDER BY pred_lang"""
+  }
+
   // ------------------------------------------------- substring duplicates --
 
   /** Substring-duplicate detection (the north rule's "suffix-array

@@ -132,7 +132,18 @@ object DedupPipeline {
     * configured, which the expression does not carry.
     */
   def signatures(spark: SparkSession, docs: DataFrame,
-      params: MinHashParams): DataFrame = {
+      params: MinHashParams): DataFrame =
+    docs
+      .select(col("id"), posexplode(signatureKeys(col("text"), params))
+        .as(Seq("band", "key")))
+      .select(col("id"), col("band"), col("key"))
+
+  /** The per-document band-key array (index = band) as a relational
+    * column — the un-exploded form of [[signatures]], reused by streaming
+    * operators that need one row per document.
+    */
+  def signatureKeys(text: org.apache.spark.sql.Column,
+      params: MinHashParams): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftSqlBridge
     // the native expression carries (kmerLen, bandWidth, numHashes) and
     // rebuilds MinHashParams with the DEFAULT randoms AND prime — both must
@@ -140,20 +151,16 @@ object DedupPipeline {
     val nativeOk = (params.prime == MinHashParams.DefaultPrime) &&
       ((params.randoms eq graft.core.HashRandoms.default) ||
         params.randoms.sameElements(graft.core.HashRandoms.default))
-    val keys =
-      if (nativeOk)
-        GraftSqlBridge.column(graft.functions.MinHashBandKeys(
-          GraftSqlBridge.expression(col("text")),
-          params.kmerLen, params.bandWidth, params.numHashes))
-      else {
-        // one hasher per task (closure), buffers reused across rows
-        val hasher = new MinHasher(params)
-        val keysUdf = udf((t: String) => hasher.bandKeys(t))
-        keysUdf(normalizeAZ(col("text")))
-      }
-    docs
-      .select(col("id"), posexplode(keys).as(Seq("band", "key")))
-      .select(col("id"), col("band"), col("key"))
+    if (nativeOk)
+      GraftSqlBridge.column(graft.functions.MinHashBandKeys(
+        GraftSqlBridge.expression(text),
+        params.kmerLen, params.bandWidth, params.numHashes))
+    else {
+      // one hasher per task (closure), buffers reused across rows
+      val hasher = new MinHasher(params)
+      val keysUdf = udf((t: String) => hasher.bandKeys(t))
+      keysUdf(normalizeAZ(text))
+    }
   }
 
   /** Stage 2 — candidate pairs: within every (band, key) LSH bucket emit

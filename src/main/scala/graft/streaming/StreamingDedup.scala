@@ -40,6 +40,34 @@ object StreamingDedup {
         unix_micros(col("window.start")).as("hour_us"),
         col("n_events"), col("sum_cents"))
 
+  /** Streaming dedup against a STATIC reference corpus — "drop documents
+    * already in the training set", the standard curation-pipeline shape.
+    * The corpus's LSH band table is folded ONCE into a Bloom filter over
+    * xxhash64(band, key) bucket ids and broadcast; each incoming page is
+    * sketched (native codegen expression) and flagged when ANY of its
+    * buckets might be in the corpus. Entirely STATELESS on the stream side
+    * (append mode, no state store, no stream-static join shuffle) — the
+    * per-batch cost is a map pass, and a multi-billion-bucket corpus costs
+    * `-expectedItems * ln(fpp) / ln(2)^2 / 8` bytes of broadcast (~1.2 GB
+    * per 10^9 buckets at fpp 0.1%), the classic web-scale trade.
+    * False negatives are impossible; false positives (rate `fpp`) flag a
+    * fresh page as candidate — verify downstream or tune fpp.
+    * Output: the input rows plus `is_candidate_dup`.
+    */
+  def againstCorpus(spark: SparkSession, pages: DataFrame,
+      corpusBands: DataFrame, params: MinHashParams,
+      expectedItems: Long, fpp: Double = 0.001): DataFrame = {
+    val bf = corpusBands
+      .select(xxhash64(col("band"), col("key")).as("bk"))
+      .stat.bloomFilter("bk", expectedItems, fpp)
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val might = udf((b: Long) => bcBf.value.mightContainLong(b))
+    val keys = DedupPipeline.signatureKeys(col("text"), params)
+    pages.withColumn("is_candidate_dup",
+      coalesce(exists(transform(keys, (k, i) => xxhash64(i, k)),
+        b => might(b)), lit(false)))
+  }
+
   final case class BandRow(id: Long, band: Int, key: Long)
   final case class CandidatePair(a: Long, b: Long)
 

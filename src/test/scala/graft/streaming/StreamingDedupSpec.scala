@@ -96,4 +96,60 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
       .run(corpus.map(p => docs(p.url) -> p.text), params).pairs
     assert(got == want)
   }
+
+  test("streaming dedup against a static corpus: bloom flags == exact band join") {
+    implicit val sc = spark.sqlContext
+    val params = MinHashParams(numHashes = 8)
+    val all = PagesGen.micro
+    val (corpusPages, streamPages) = all.splitAt(all.size / 2)
+    val corpusDocs = DedupPipeline.extractDocs(
+      Pages.toDS(spark, corpusPages).toDF())
+    val corpusBands = DedupPipeline.signatures(spark, corpusDocs, params)
+      .persist()
+
+    // exact ground truth: a page is a candidate iff it shares >= 1
+    // (band, key) bucket with the corpus
+    val streamDocs = DedupPipeline.extractDocs(
+      Pages.toDS(spark, streamPages).toDF())
+    val wantFlagged = DedupPipeline.signatures(spark, streamDocs, params)
+      .join(corpusBands.select("band", "key"), Seq("band", "key"),
+        "left_semi")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val urlToId = streamDocs.select("url", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wantFlagged.nonEmpty,
+      "fixture must contain near-dups of corpus pages")
+    assert(wantFlagged.size < streamPages.size,
+      "fixture must contain fresh pages too")
+
+    // batch form (same code path, no stream)
+    val batchGot = StreamingDedup.againstCorpus(spark,
+        Pages.toDS(spark, streamPages).toDF(), corpusBands, params,
+        expectedItems = 10000, fpp = 1e-6)
+      .select(col("url"), col("is_candidate_dup")).collect()
+      .map(r => urlToId(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(batchGot.filter(_._2).keySet == wantFlagged,
+      "bloom candidate set must equal the exact band join (fpp 1e-6)")
+
+    // streaming form over MemoryStream micro-batches
+    val input = MemoryStream[(String, java.sql.Timestamp, String)]
+    val pages = input.toDF().toDF("url", "warc_ts", "text")
+    val q = StreamingDedup.againstCorpus(spark, pages, corpusBands, params,
+        expectedItems = 10000, fpp = 1e-6)
+      .select("url", "is_candidate_dup")
+      .writeStream.format("memory").queryName("against_corpus_out")
+      .outputMode("append").start()
+    val (w1, w2) = streamPages.splitAt(streamPages.size / 2)
+    input.addData(w1.map(p => (p.url, p.warc_ts, p.text)))
+    q.processAllAvailable()
+    input.addData(w2.map(p => (p.url, p.warc_ts, p.text)))
+    q.processAllAvailable()
+    val streamGot = spark.sql(
+      "SELECT url, is_candidate_dup FROM against_corpus_out")
+      .collect().map(r => urlToId(r.getString(0)) -> r.getBoolean(1)).toMap
+    q.stop()
+    corpusBands.unpersist()
+    assert(streamGot == batchGot,
+      "streaming flags must equal the batch form row-for-row")
+  }
 }
