@@ -178,7 +178,7 @@ GROUP BY vec_id ORDER BY vec_id"""
     val nodes = Ops.table(spark, dir, "embeddings")
       .select(col("vec_id").as("id"))
     graft.pipeline.ConnectedComponents.run(spark, pairs, nodes,
-        assumeCanonical = true)
+        assumeCanonical = true, driverFinishMaxEdges = 1L << 23)
       .select(col("id").as("vec_id"), col("component").as("cluster_id"))
       .orderBy("vec_id")
   }

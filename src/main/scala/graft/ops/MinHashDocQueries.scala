@@ -191,7 +191,10 @@ object MinHashDocQueries {
     val all = graft.pipeline.VertexShingling.densify(spark, pairs, params)
     val nodes = Ops.table(spark, dir, "documents")
       .select(col("doc_id").as("id"))
-    ConnectedComponents.run(spark, all, nodes, assumeCanonical = true)
+    // production CC shape (driver finish engages at gate scale); the
+    // distributed star loop keeps its own oracle coverage through q04/q23
+    ConnectedComponents.run(spark, all, nodes, assumeCanonical = true,
+        driverFinishMaxEdges = 1L << 23)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
   }
