@@ -472,11 +472,12 @@ object DedupPipeline {
     val sets = pruned
       .select(col("id"), setOf(normalizeAZ(col("text"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tau = threshold
-    val keep = udf((x: Array[Byte], y: Array[Byte]) => {
-      val i = Shingler.intersectionSizePacked(x, y)
-      i >= tau * (Shingler.packedSize(x) + Shingler.packedSize(y) - i)
-    })
+    // native codegen'd gate expression (no ScalaUDF wrapper in the
+    // per-pair hot path) — semantics identical to the UDF form, spec-equal
+    import org.apache.spark.sql.GraftSqlBridge
+    def keep(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      GraftSqlBridge.column(graft.functions.PackedJaccardGate(
+        GraftSqlBridge.expression(x), GraftSqlBridge.expression(y), threshold))
     val out = pairs
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
