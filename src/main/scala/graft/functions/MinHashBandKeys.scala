@@ -181,8 +181,10 @@ final class BandKeyKernel(val params: MinHashParams) extends Serializable {
   * reference hash family ([[HashRandoms.default]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.bandKeysFunction)
+    ext.injectFunction(GraftFunctions.jaccardGateFunction)
+  }
 }
 
 object GraftFunctions {
@@ -204,7 +206,26 @@ object GraftFunctions {
         "minhash_band_keys(text[, kmerLen, bandWidth, numHashes])")
     })
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** `packed_jaccard_gate(x, y, tau)` over [[graft.core.Shingler.packSet]]
+    * payloads.
+    */
+  val jaccardGateFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("packed_jaccard_gate"),
+    new ExpressionInfo(classOf[PackedJaccardGate].getName,
+      "packed_jaccard_gate"),
+    (exprs: Seq[Expression]) => exprs match {
+      case Seq(x, y, Literal(tau: Double, _)) => PackedJaccardGate(x, y, tau)
+      case Seq(x, y, Literal(tau: org.apache.spark.sql.types.Decimal, _)) =>
+        PackedJaccardGate(x, y, tau.toDouble) // SQL `0.5` parses as Decimal
+      case _ => throw new IllegalArgumentException(
+        "packed_jaccard_gate(x binary, y binary, tau double-literal)")
+    })
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_band_keys", bandKeysFunction._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "packed_jaccard_gate", jaccardGateFunction._3, "built-in")
+  }
 }

@@ -59,6 +59,17 @@ class PackedJaccardGateSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) == null, "null input must yield null (nullSafeEval)")
   }
 
+  test("SQL registration: packed_jaccard_gate literal form") {
+    GraftFunctions.register(spark)
+    Seq((1L, pack("ABCDEFGHIJ"), pack("ABCDEFGHIJ")),
+      (2L, pack("ABCDEF"), pack("GHIJKL")))
+      .toDF("id", "x", "y").createOrReplaceTempView("pjg_in")
+    val got = spark.sql(
+      "SELECT id, packed_jaccard_gate(x, y, 0.5) AS keep FROM pjg_in")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false))
+  }
+
   test("verify stage through the native gate == serial oracle pairs") {
     val pages = PagesGen.small
     val p = MinHashParams(numHashes = 8)
