@@ -101,7 +101,9 @@ object SparkEntry {
     // first failing gate = reject reason
     "q32_curation" -> ((s, d) => T.curation(s, d)),
     // per-language corpus rollup (docs, token/char totals, longest doc)
-    "q33_corpus_stats" -> ((s, d) => T.corpusStats(s, d))
+    "q33_corpus_stats" -> ((s, d) => T.corpusStats(s, d)),
+    // Gopher-style word-bigram repetition signal (integer stats)
+    "q34_repetition" -> ((s, d) => T.repetition(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -137,6 +139,7 @@ object SparkEntry {
     "q30_ivf_assign" -> E.ivfAssignSql,
     "q31_substring_lcs" -> T.substringLcsSql,
     "q32_curation" -> T.curationSql,
-    "q33_corpus_stats" -> T.corpusStatsSql
+    "q33_corpus_stats" -> T.corpusStatsSql,
+    "q34_repetition" -> T.repetitionSql
   )
 }

@@ -389,6 +389,45 @@ SELECT pred_lang, count(*) AS n_docs,
 FROM langd GROUP BY pred_lang ORDER BY pred_lang"""
   }
 
+  // --------------------------------------------------- repetition signal --
+
+  /** Word-bigram repetition statistics — the Gopher-style "fraction of
+    * duplicated n-grams" quality signal: per document the total bigram
+    * count, distinct bigram count, and the most frequent bigram's count
+    * (all integers; the ratios are a trivial downstream division). Docs
+    * with fewer than two tokens emit no row, matching the oracle.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val bigramArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array())
+    Ops.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(bigramArr).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("max_bigram_count"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+),
+bg AS (
+  SELECT doc_id, t[i::INT] || ' ' || t[(i+1)::INT] AS bigram FROM pos
+),
+per AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+  count(*)::BIGINT AS n_distinct_bigrams, max(c)::BIGINT AS max_bigram_count
+FROM per GROUP BY doc_id ORDER BY doc_id"""
+
   // ------------------------------------------------- substring duplicates --
 
   /** Substring-duplicate detection (the north rule's "suffix-array

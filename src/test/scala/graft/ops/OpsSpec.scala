@@ -226,6 +226,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(hashed == plain)
   }
 
+  test("repetition stats: bigram counting edges (short docs, heavy repeats)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (1L, "a b a b a b"), // bigrams: "a b"x3, "b a"x2
+      (2L, "one"), // < 2 tokens: no row
+      (3L, "x y") // single bigram
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextQueries.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(1L -> ((5L, 2L, 3L)), 3L -> ((1L, 1L, 1L))))
+  }
+
   test("substring LCS: diagonal-run algebra == brute-force LCS (>= L)") {
     import spark.implicits._
     def bruteLcs(a: String, b: String): Int = {
