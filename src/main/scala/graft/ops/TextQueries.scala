@@ -338,8 +338,9 @@ SELECT doc_id, reason,
   (CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS kept
 FROM flagged ORDER BY doc_id"""
 
-  /** Corpus-level statistics per predicted language — the rollup a curation
-    * run reports (doc counts, token/char totals, longest doc).
+  /** Corpus-level statistics per (labeled lang, predicted lang) cell — the
+    * rollup a curation run reports (doc counts, token/char totals, longest
+    * doc), shaped as the label-vs-heuristic confusion matrix.
     */
   def corpusStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
@@ -347,21 +348,21 @@ FROM flagged ORDER BY doc_id"""
       size(filter(toks, t => array_contains(typedLit(markers), t))).cast("long")
     val Seq(en, de, fr, es) = Ops.LangMarkers.map(m => cnt(m._2))
     Ops.table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), en.as("c_en"), de.as("c_de"),
-        fr.as("c_fr"), es.as("c_es"))
+      .select(col("doc_id"), col("text"), col("lang"), en.as("c_en"),
+        de.as("c_de"), fr.as("c_fr"), es.as("c_es"))
       .withColumn("pred_lang",
         when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr")
           && col("c_en") >= col("c_es"), "en")
           .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
           .when(col("c_fr") >= col("c_es"), "fr")
           .otherwise("es"))
-      .groupBy("pred_lang")
+      .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+"))).cast("long")
           .as("total_ws_tokens"),
         sum(length(col("text"))).cast("long").as("total_chars"),
         max(length(col("text"))).cast("long").as("max_chars"))
-      .orderBy("pred_lang")
+      .orderBy("lang", "pred_lang")
   }
 
   val corpusStatsSql: String = {
@@ -371,7 +372,7 @@ FROM flagged ORDER BY doc_id"""
     val Seq(en, de, fr, es) = Ops.LangMarkers.map(m => cnt(m._2))
     s"""
 WITH c AS (
-  SELECT doc_id, text, $en AS c_en, $de AS c_de, $fr AS c_fr, $es AS c_es
+  SELECT doc_id, text, lang, $en AS c_en, $de AS c_de, $fr AS c_fr, $es AS c_es
   FROM documents
 ),
 langd AS (
@@ -382,11 +383,11 @@ langd AS (
          ELSE 'es' END AS pred_lang
   FROM c
 )
-SELECT pred_lang, count(*) AS n_docs,
+SELECT lang, pred_lang, count(*) AS n_docs,
   sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS total_ws_tokens,
   sum(length(text))::BIGINT AS total_chars,
   max(length(text))::BIGINT AS max_chars
-FROM langd GROUP BY pred_lang ORDER BY pred_lang"""
+FROM langd GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
   }
 
   // --------------------------------------------------- repetition signal --
