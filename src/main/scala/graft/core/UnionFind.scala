@@ -38,7 +38,9 @@ final class UnionFind {
     labelPairs().toMap
 
   /** Same labeling as an array of (node, minLabel) pairs — no immutable-Map
-    * overhead, for multi-million-node driver-side finishes.
+    * overhead. (The pipeline's driver CC finish uses the faster
+    * primitive-array union-find in
+    * [[graft.pipeline.ConnectedComponents]]; this stays the simple oracle.)
     */
   def labelPairs(): Array[(Long, Long)] = {
     val minOf = mutable.LongMap.empty[Long]

@@ -73,17 +73,22 @@ object MultimodalOps {
     val b = payload
     if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
       tag(b, 8) != "WAVE") return None
-    var o = 12
+    // Long offsets: a chunk-size field is unsigned 32-bit, so Int math on
+    // adversarial sizes (e.g. 0xFFFFFFF8) would advance by <= 0 and loop
+    // forever; with Long arithmetic an oversized chunk just runs o past
+    // the payload and the walk terminates
+    var o = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
     var dataBytes = -1L
     while (o + 8 <= b.length) {
-      val id = tag(b, o)
-      val sz = u32le(b, o + 4)
+      val oi = o.toInt
+      val id = tag(b, oi)
+      val sz = u32le(b, oi + 4)
       if (id == "fmt " && sz >= 16 && o + 8 + 16 <= b.length)
-        fmt = Some((u16le(b, o + 10), u32le(b, o + 12).toInt,
-          u16le(b, o + 22), u16le(b, o + 20)))
+        fmt = Some((u16le(b, oi + 10), u32le(b, oi + 12).toInt,
+          u16le(b, oi + 22), u16le(b, oi + 20)))
       else if (id == "data") dataBytes = sz
-      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      o += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
     fmt.map { case (ch, rate, bits, blockAlign) =>
       val frames =
@@ -124,7 +129,7 @@ object MultimodalOps {
               timescale = u32be(b, o + 8 + 4 + 8)
               duration = u32be(b, o + 8 + 4 + 12)
             }
-          case "tkhd" =>
+          case "tkhd" if o + 12 <= until =>
             val v = b(o + 8) & 0xFF
             val base = o + 8 + 4 // past version+flags
             // v0 body: creation/mod/track/reserved/duration (20) + reserved

@@ -157,7 +157,19 @@ object ConnectedComponents {
     // open-addressing id -> index table (linear probing, load <= 0.5):
     // O(1) translation beats 2 binary searches per edge by ~3x at the
     // multi-million-edge gate boundary (cache-missy log m probes add up)
-    val cap = math.max(Integer.highestOneBit(m) * 4, 16)
+    // Long math then clamp: Integer.highestOneBit(m) * 4 overflows Int at
+    // m >= 2^29, silently collapsing the table to its floor and spinning
+    // the probe loop forever. The clamp keeps cap > m up to m < 2^30
+    // (always an empty slot, so probing terminates; load degrades past
+    // 2^29 but a driver finish that large is already past its design
+    // point — fail loudly beyond).
+    require(m < (1 << 30),
+      s"driver CC finish over $m unique ids exceeds the open-addressing " +
+      "table's design point; lower driverFinishMaxEdges")
+    val cap = {
+      val want = java.lang.Long.highestOneBit(math.max(m.toLong, 4L)) * 4L
+      if (want > (1L << 30)) 1 << 30 else math.max(want.toInt, 16)
+    }
     val mask = cap - 1
     val hKeys = new Array[Long](cap)
     val hVals = new Array[Int](cap)

@@ -58,7 +58,13 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
       case 0 => (0, 0)
       case v =>
         val p = catalog.snapshot(stateTable, v).properties
-        (p(HKey).toInt, p(NbrsVerKey).toInt)
+        (p.get(HKey), p.get(NbrsVerKey)) match {
+          case (Some(h), Some(nv)) => (h.toInt, nv.toInt)
+          case _ => throw new IllegalStateException(
+            s"vertex-cache state table '$stateTable' v$v carries no step " +
+            "properties — it was written by an incompatible version; wipe " +
+            "the cache directory and restart the sweep")
+        }
     }
 
   /** Hash count the cached state was computed with (0 = empty cache). */

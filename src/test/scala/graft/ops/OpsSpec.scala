@@ -109,6 +109,29 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(MultimodalOps.decodeWavMeta(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("malformed media headers terminate instead of hanging or crashing") {
+    // RIFF chunk whose unsigned 32-bit size would truncate to a negative
+    // Int (0xFFFFFFF8): the walk must terminate, not loop forever
+    val evilWav = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(16); bb.put("WAVE".getBytes)
+      bb.put("junk".getBytes); bb.putInt(0xFFFFFFF8) // adversarial size
+      bb.putInt(0)
+      bb.array()
+    }
+    assert(MultimodalOps.decodeWavMeta(evilWav).isEmpty)
+    // truncated tkhd box (size 8, payload ends at the buffer): no
+    // out-of-bounds read on the version byte
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 8)
+    bb.putInt(16); bb.put("ftyp".getBytes)
+    bb.put("isomxxxx".getBytes)
+    bb.putInt(16); bb.put("moov".getBytes)
+    bb.putInt(8); bb.put("tkhd".getBytes) // empty tkhd, ends the payload
+    val v = MultimodalOps.decodeMp4Meta(bb.array())
+    assert(v.isDefined && v.get.width == 0, "truncated tkhd parses as absent")
+  }
+
   test("MP4 box parse: brand, mvhd timescale/duration, tkhd dims") {
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
