@@ -55,6 +55,12 @@ object Bench {
       val nOut = DedupPipeline.run(spark, pages, cfg).count()
       val sec = (System.nanoTime() - t0) / 1e9
       pages.unpersist()
+      // a bench must not leak ~2 GB of stage parquet per invocation
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(new java.io.File(stageDir))
       (nOut, nPages, sec)
     }
     val (nOut, nPages, pipeSec) = runPipeline(benchDocs, benchHashes)
