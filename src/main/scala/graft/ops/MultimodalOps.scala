@@ -84,9 +84,15 @@ object MultimodalOps {
       val oi = o.toInt
       val id = tag(b, oi)
       val sz = u32le(b, oi + 4)
-      if (id == "fmt " && sz >= 16 && o + 8 + 16 <= b.length)
-        fmt = Some((u16le(b, oi + 10), u32le(b, oi + 12).toInt,
-          u16le(b, oi + 22), u16le(b, oi + 20)))
+      if (id == "fmt " && sz >= 16 && o + 8 + 16 <= b.length) {
+        // the rate field is unsigned 32-bit; a value above Int.MaxValue is
+        // no real sample rate — treat the chunk as malformed rather than
+        // letting .toInt wrap it into a silently-negative sampleRateHz
+        val rate = u32le(b, oi + 12)
+        if (rate <= Int.MaxValue)
+          fmt = Some((u16le(b, oi + 10), rate.toInt,
+            u16le(b, oi + 22), u16le(b, oi + 20)))
+      }
       else if (id == "data") dataBytes = sz
       o += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
@@ -111,41 +117,66 @@ object MultimodalOps {
     var duration = 0L
     var width = 0
     var height = 0
-    def walk(from: Int, until: Int): Unit = {
-      var o = from
-      while (o + 8 <= until) {
-        val sz = u32be(b, o)
-        if (sz < 8 || o + sz > until) return // malformed: stop, keep parsed
-        val id = tag(b, o + 4)
-        id match {
-          case "ftyp" if o + 12 <= until => brand = tag(b, o + 8)
-          case "moov" | "trak" => walk(o + 8, o + sz.toInt) // containers
-          case "mvhd" if o + 12 <= until =>
-            val v = b(o + 8) & 0xFF
-            if (v == 1 && o + 8 + 4 + 16 + 12 <= until) {
-              timescale = u32be(b, o + 8 + 4 + 16)
-              duration = u64be(b, o + 8 + 4 + 20)
-            } else if (v == 0 && o + 8 + 4 + 8 + 8 <= until) {
-              timescale = u32be(b, o + 8 + 4 + 8)
-              duration = u32be(b, o + 8 + 4 + 12)
-            }
-          case "tkhd" if o + 12 <= until =>
-            val v = b(o + 8) & 0xFF
-            val base = o + 8 + 4 // past version+flags
-            // v0 body: creation/mod/track/reserved/duration (20) + reserved
-            // (8) + layer/alt/volume/reserved (8) + matrix (36) = 72 to
-            // width; v1 widens the three time fields by 4 each (+12)
-            val wOff = if (v == 1) base + 84 else base + 72
-            if (wOff + 8 <= until) {
-              width = (u32be(b, wOff) >> 16).toInt // 16.16 fixed point
-              height = (u32be(b, wOff + 4) >> 16).toInt
-            }
-          case _ => ()
+    // Iterative DFS over (offset, until, depth) ranges on an explicit
+    // stack: a crafted payload of 8-byte nested containers would drive a
+    // recursive walk to ~payload/8 stack frames (executor-killing
+    // StackOverflowError); the heap stack is bounded by the same depth cap.
+    // Real BMFF nests < 10 container levels (ISO/IEC 14496-12 box tree).
+    val maxDepth = 16
+    var stack: List[(Long, Long, Int)] = (0L, b.length.toLong, 0) :: Nil
+    while (stack.nonEmpty) {
+      var (o, until, depth) = stack.head
+      stack = stack.tail
+      var walking = true
+      while (walking && o + 8 <= until) {
+        val sz32 = u32be(b, o.toInt)
+        // size == 1 -> 64-bit `largesize` follows the type (a moov after a
+        // > 4 GiB mdat is reachable only through this); size == 0 -> box
+        // extends to the end of the enclosing range (legal for a trailing
+        // mdat). `sz > until - o` (not `o + sz > until`) so an adversarial
+        // largesize near Long.MaxValue cannot overflow the bound check.
+        val hdr: Long = if (sz32 == 1L) 16L else 8L
+        val sz: Long =
+          if (sz32 == 1L) { if (o + 16 <= until) u64be(b, o.toInt + 8) else -1L }
+          else if (sz32 == 0L) until - o
+          else sz32
+        if (sz < hdr || sz > until - o) walking = false // malformed: stop, keep parsed
+        else {
+          val id = tag(b, o.toInt + 4)
+          val p = (o + hdr).toInt // payload start (header is 8 or 16 bytes)
+          id match {
+            case "ftyp" if o + hdr + 4 <= until => brand = tag(b, p)
+            case "moov" | "trak" if depth < maxDepth => // containers
+              // preserve DFS order: finish this range after the container
+              stack = ((o + hdr, o + sz, depth + 1)) ::
+                ((o + sz, until, depth)) :: stack
+              walking = false
+            case "mvhd" if o + hdr + 4 <= until =>
+              val v = b(p) & 0xFF
+              if (v == 1 && p + 4 + 16 + 12 <= until) {
+                timescale = u32be(b, p + 4 + 16)
+                duration = u64be(b, p + 4 + 20)
+              } else if (v == 0 && p + 4 + 8 + 8 <= until) {
+                timescale = u32be(b, p + 4 + 8)
+                duration = u32be(b, p + 4 + 12)
+              }
+            case "tkhd" if o + hdr + 4 <= until =>
+              val v = b(p) & 0xFF
+              val base = p + 4 // past version+flags
+              // v0 body: creation/mod/track/reserved/duration (20) + reserved
+              // (8) + layer/alt/volume/reserved (8) + matrix (36) = 72 to
+              // width; v1 widens the three time fields by 4 each (+12)
+              val wOff = if (v == 1) base + 84 else base + 72
+              if (wOff + 8 <= until) {
+                width = (u32be(b, wOff) >> 16).toInt // 16.16 fixed point
+                height = (u32be(b, wOff + 4) >> 16).toInt
+              }
+            case _ => ()
+          }
+          if (walking) o += sz
         }
-        o += sz.toInt
       }
     }
-    walk(0, b.length)
     Some(VideoMeta("mp4", brand, timescale, duration, width, height))
   }
 

@@ -122,7 +122,6 @@ FROM sim ORDER BY doc_id"""
           element_at(toks, i + 3)))))
       .otherwise(array().cast("array<string>"))
     val g = Ops.table(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), grams.as("g"))
     val a = g.select(col("doc_id").as("id_a"), col("g").as("ga"))
     val b = g.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),

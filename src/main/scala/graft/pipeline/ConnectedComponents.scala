@@ -103,7 +103,7 @@ object ConnectedComponents {
         // defensive: if count() ever stops reporting to the metrics
         // listener (Spark-version behavior), fall back to the explicit
         // aggregate — correct, one extra (cached-read) job
-        sigFallbacks += 1
+        sigFallbacks.incrementAndGet()
         val r = next.toDF("a", "b")
           .agg(bit_xor(xxhash64(col("a"), col("b")))).head()
         if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -214,7 +214,8 @@ object ConnectedComponents {
     * (perf telemetry; spec-asserted 0 so a Spark behavior change can't
     * silently reintroduce the two-jobs-per-iteration cost).
     */
-  @volatile private[pipeline] var sigFallbacks: Long = 0L
+  private[pipeline] val sigFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The observed xor signature, polled bounded: the action has already
     * completed when this runs, so the listener dispatch is milliseconds

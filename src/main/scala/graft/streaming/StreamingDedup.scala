@@ -100,23 +100,40 @@ object StreamingDedup {
       .groupByKey(r => (r.band, r.key))
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (_: (Int, Long), rows: Iterator[BandRow],
-            state: GroupState[Set[Long]]) => {
+            state: GroupState[Array[Long]]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var members = state.getOption.getOrElse(Set.empty[Long])
+            // bucket members as a SORTED primitive array (the pipeline's
+            // idiom): O(log n) membership via binary search, one arraycopy
+            // insert, and none of the per-event whole-set copying (and
+            // boxed-Long garbage) an immutable Set state would churn
+            var members = state.getOption.getOrElse(Array.emptyLongArray)
+            var dirty = false
             val out = Iterator.newBuilder[CandidatePair]
             rows.foreach { r =>
-              if (!members.contains(r.id) && members.size < maxBucket) {
-                members.foreach { m =>
+              val idx = java.util.Arrays.binarySearch(members, r.id)
+              if (idx < 0 && members.length < maxBucket) {
+                var i = 0
+                while (i < members.length) {
+                  val m = members(i)
                   out += CandidatePair(math.min(m, r.id), math.max(m, r.id))
+                  i += 1
                 }
-                members += r.id
+                val at = -(idx + 1)
+                val grown = new Array[Long](members.length + 1)
+                System.arraycopy(members, 0, grown, 0, at)
+                grown(at) = r.id
+                System.arraycopy(members, at, grown, at + 1,
+                  members.length - at)
+                members = grown
+                dirty = true
               }
             }
-            state.update(members)
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            if (dirty) state.update(members)
+            if (stateTtlMs > 0 && state.exists)
+              state.setTimeoutDuration(stateTtlMs)
             out.result()
           }
         })

@@ -130,6 +130,84 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     bb.putInt(8); bb.put("tkhd".getBytes) // empty tkhd, ends the payload
     val v = MultimodalOps.decodeMp4Meta(bb.array())
     assert(v.isDefined && v.get.width == 0, "truncated tkhd parses as absent")
+
+    // adversarial deep nesting: ~64k 8-byte `moov` containers, each the
+    // sole child of the previous — a recursive walk would overflow the JVM
+    // stack; the iterative walk (depth-capped) must terminate cleanly
+    val n = 65536
+    val deep = java.nio.ByteBuffer.allocate(16 + 8 * n)
+    deep.putInt(16); deep.put("ftyp".getBytes); deep.put("isomxxxx".getBytes)
+    var rem = 8 * n
+    while (rem > 0) { deep.putInt(rem); deep.put("moov".getBytes); rem -= 8 }
+    assert(MultimodalOps.decodeMp4Meta(deep.array()).isDefined)
+
+    // a largesize (size == 1) header with no 64-bit size field behind it
+    // stops the walk instead of reading out of bounds
+    val shortLarge = java.nio.ByteBuffer.allocate(16 + 12)
+    shortLarge.putInt(16); shortLarge.put("ftyp".getBytes)
+    shortLarge.put("isomxxxx".getBytes)
+    shortLarge.putInt(1); shortLarge.put("mdat".getBytes); shortLarge.putInt(0)
+    assert(MultimodalOps.decodeMp4Meta(shortLarge.array()).get.brand == "isom")
+
+    // WAV fmt chunk claiming a sample rate above Int.MaxValue is rejected
+    // as malformed, not wrapped into a negative sampleRateHz
+    val evilRate = {
+      val b2 = java.nio.ByteBuffer.allocate(12 + 8 + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b2.put("RIFF".getBytes); b2.putInt(28); b2.put("WAVE".getBytes)
+      b2.put("fmt ".getBytes); b2.putInt(16)
+      b2.putShort(1); b2.putShort(2); b2.putInt(0x80000000) // rate = 2^31
+      b2.putInt(0); b2.putShort(4); b2.putShort(16)
+      b2.array()
+    }
+    assert(MultimodalOps.decodeWavMeta(evilRate).isEmpty)
+  }
+
+  test("MP4 largesize box: moov after a 64-bit-size mdat still parses") {
+    // layout: ftyp | mdat with size==1 + 64-bit largesize | moov/mvhd —
+    // the shape of a real >4GiB recording with metadata written last.
+    // Here the largesize is small (24) so the fixture stays tiny, but it
+    // exercises exactly the 16-byte-header + Long-size walk arithmetic.
+    val ftyp = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(16); bb.put("ftyp".getBytes); bb.put("isomxxxx".getBytes)
+      bb.array()
+    }
+    val mdat = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.putInt(1); bb.put("mdat".getBytes) // size==1 -> largesize follows
+      bb.putLong(24L) // 16-byte header + 8 payload bytes
+      bb.putLong(0xDEADBEEFL) // payload
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 + 16 + 8)
+      bb.putInt(8 + 4 + 16 + 8); bb.put("mvhd".getBytes)
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0); bb.putInt(0) // creation, modification
+      bb.putInt(48000) // timescale
+      bb.putInt(96000) // duration
+      bb.putLong(0L) // trailing body bytes
+      bb.array()
+    }
+    val moov = {
+      val bb = java.nio.ByteBuffer.allocate(8 + mvhd.length)
+      bb.putInt(8 + mvhd.length); bb.put("moov".getBytes); bb.put(mvhd)
+      bb.array()
+    }
+    val v = MultimodalOps.decodeMp4Meta(ftyp ++ mdat ++ moov).get
+    assert(v.brand == "isom", s"brand: ${v.brand}")
+    assert(v.timescale == 48000 && v.durationTicks == 96000,
+      s"mvhd after largesize mdat must parse: $v")
+
+    // size == 0 (box extends to end of range) on the trailing box is legal
+    val mdat0 = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(0); bb.put("mdat".getBytes); bb.putLong(0L)
+      bb.array()
+    }
+    val v0 = MultimodalOps.decodeMp4Meta(ftyp ++ moov ++ mdat0).get
+    assert(v0.timescale == 48000, "size-0 trailing mdat must not break parse")
   }
 
   test("MP4 box parse: brand, mvhd timescale/duration, tkhd dims") {

@@ -93,12 +93,12 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("iteration signatures come from the checkpoint job (no fallback aggregate)") {
-    ConnectedComponents.sigFallbacks = 0L
+    ConnectedComponents.sigFallbacks.set(0L)
     val nodes = (0L until 200L).toSeq
     val edges = nodes.grouped(5).flatMap(g =>
       g.sliding(2).map(s => (s(0), s(1)))).toSeq
     ccOf(edges, nodes) // several iterations
-    assert(ConnectedComponents.sigFallbacks == 0L,
+    assert(ConnectedComponents.sigFallbacks.get() == 0L,
       "observed metrics did not resolve — CC is paying 2 jobs per iteration")
   }
 }
