@@ -103,7 +103,13 @@ object SparkEntry {
     // per-language corpus rollup (docs, token/char totals, longest doc)
     "q33_corpus_stats" -> ((s, d) => T.corpusStats(s, d)),
     // Gopher-style word-bigram repetition signal (integer stats)
-    "q34_repetition" -> ((s, d) => T.repetition(s, d))
+    "q34_repetition" -> ((s, d) => T.repetition(s, d)),
+    // the substring family's web-scale guard as its own gated surface:
+    // windows shared by > maxWindowDocs docs (boilerplate) are dropped
+    // before the self-join — the k^2 hot-key cap in action (at sf0.01 the
+    // cap of 2 really drops the doc-frequency-3 windows)
+    "q35_substring_capped" ->
+      ((s, d) => T.substringDupsHashed(s, d, 30, maxWindowDocs = 2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -140,6 +146,7 @@ object SparkEntry {
     "q31_substring_lcs" -> T.substringLcsSql,
     "q32_curation" -> T.curationSql,
     "q33_corpus_stats" -> T.corpusStatsSql,
-    "q34_repetition" -> T.repetitionSql
+    "q34_repetition" -> T.repetitionSql,
+    "q35_substring_capped" -> T.substringDupsCappedSql
   )
 }

@@ -478,24 +478,66 @@ FROM per GROUP BY doc_id ORDER BY doc_id"""
     * payload (the verification needs them), but sorting/comparison is all
     * fixed-width integers.
     */
-  def substringDupsHashed(spark: SparkSession, dir: String, L: Int = 30)
-      : DataFrame = {
+  def substringDupsHashed(spark: SparkSession, dir: String, L: Int = 30,
+      maxWindowDocs: Int = Int.MaxValue): DataFrame =
+    substringDupsHashedManaged(spark, dir, L, maxWindowDocs)._1
+
+  /** [[substringDupsHashed]] plus the drop-metrics frame — the same
+    * `(result, dropped)` policy shape as pair generation's `maxBucketSize`
+    * and nocc's `maxDegree`. `maxWindowDocs` is the web-scale guard this
+    * family needs: a boilerplate window (site header, license banner)
+    * present in k documents is ONE join key emitting k^2/2 rows, the
+    * hot-key class that dominates real web text. Windows whose doc count
+    * exceeds the cap are dropped before the self-join (boilerplate carries
+    * no duplication signal — the same recall/cost policy as a df-stopword
+    * cut), and reported as (h, n_docs) rows in `dropped` (empty when
+    * uncapped). The count groups on the 8-byte hash with map-side partial
+    * aggregation, so the detection pass is skew-proof by construction; the
+    * hot set is joined back left_anti (tiny by the definition of skew —
+    * AQE broadcasts it).
+    */
+  def substringDupsHashedManaged(spark: SparkSession, dir: String,
+      L: Int = 30, maxWindowDocs: Int = Int.MaxValue)
+      : (DataFrame, DataFrame) = {
+    // collect_set (not array_distinct(collect_list)): dedups INSIDE the
+    // aggregation buffer including map-side partials, so a pathologically
+    // repetitive document costs memory per DISTINCT window, not per
+    // occurrence
     val w = windowsRaw(spark, dir, L)
       .select(col("doc_id"), col("w"), xxhash64(col("w")).as("h"))
       .groupBy("doc_id", "h")
-      .agg(array_distinct(collect_list(col("w"))).as("ws"))
+      .agg(collect_set(col("w")).as("ws"))
       .select(col("doc_id"), col("h"), explode(col("ws")).as("w"))
+    val (kept, dropped) = capHotWindows(w, maxWindowDocs)
     // exact verification as <=/>= (equivalent to equality for the non-null
     // windows here): a plain `x.w === y.w` would be EXTRACTED by Catalyst
     // into an equi-join KEY, putting the string back into the exchange
     // hash/sort keys — as range predicates it stays a post-match filter on
     // the h-keyed join, evaluated only inside (tiny) equal-hash groups
-    w.as("x").join(w.as("y"),
+    val pairs = kept.as("x").join(kept.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id")
           && col("x.w") <= col("y.w") && col("x.w") >= col("y.w"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("id_a", "id_b")
+    (pairs, dropped)
+  }
+
+  /** Shared hot-window policy: drop window-hash keys whose distinct-doc
+    * count exceeds `maxWindowDocs` from a per-doc-deduped (doc_id, h, ...)
+    * frame. Counting is per HASH (the join's actual skew key — xxhash64
+    * collisions, ~n^2/2^65, would only make the cap marginally more
+    * conservative, never less). Returns (kept, dropped(h, n_docs)).
+    */
+  private def capHotWindows(w: DataFrame, maxWindowDocs: Int)
+      : (DataFrame, DataFrame) = {
+    val counts = w.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+    if (maxWindowDocs == Int.MaxValue) (w, counts.where(lit(false)))
+    else {
+      val dropped = counts.where(col("n_docs") > maxWindowDocs)
+      (w.join(dropped.select("h"), Seq("h"), "left_anti"), dropped)
+    }
   }
 
   /** True longest-common-substring (>= L) per candidate doc pair — the
@@ -512,15 +554,34 @@ FROM per GROUP BY doc_id ORDER BY doc_id"""
   def substringLcs(spark: SparkSession, dir: String, L: Int = 30): DataFrame =
     substringLcsDf(Ops.table(spark, dir, "documents"), L)
 
-  /** [[substringLcs]] over any (doc_id, text) frame (unit-test surface). */
-  def substringLcsDf(documents: DataFrame, L: Int): DataFrame = {
-    val occ = documents
+  /** [[substringLcs]] over any (doc_id, text) frame (unit-test surface).
+    * `maxWindowDocs` applies the same boilerplate-window cap as
+    * [[substringDupsHashedManaged]]: occurrences of a window-hash present
+    * in more than that many distinct docs are dropped before the
+    * occurrence self-join (their k^2-per-position matches are the
+    * dominant cost on real web text). Capped LCS is a LOWER bound per
+    * surviving pair: a true common substring running through a dropped
+    * boilerplate window reports its longest capped fragment instead.
+    */
+  def substringLcsDf(documents: DataFrame, L: Int,
+      maxWindowDocs: Int = Int.MaxValue): DataFrame =
+    substringLcsManaged(documents, L, maxWindowDocs)._1
+
+  /** [[substringLcsDf]] plus the (h, n_docs) drop-metrics frame. */
+  def substringLcsManaged(documents: DataFrame, L: Int,
+      maxWindowDocs: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+    val occ0 = documents
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(1), greatest(length(col("text")) - (L - 1), lit(0))),
         i => substring(col("text"), i, lit(L)))).as(Seq("idx", "w")))
       .where(length(col("w")) === L)
       .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"),
         col("w"), xxhash64(col("w")).as("h"))
+    val (occ, dropped) = capHotWindows(occ0, maxWindowDocs)
+    (substringLcsJoin(occ, L), dropped)
+  }
+
+  private def substringLcsJoin(occ: DataFrame, L: Int): DataFrame = {
     val m = occ.as("x").join(occ.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id")
           && col("x.w") <= col("y.w") && col("x.w") >= col("y.w"))
@@ -570,6 +631,26 @@ WITH w AS (
 )
 SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
 FROM w x JOIN w y ON x.w = y.w AND x.doc_id < y.doc_id
+GROUP BY 1, 2 ORDER BY id_a, id_b"""
+
+  /** Oracle for the maxWindowDocs = 2 capped form: the cap is stated on
+    * the window STRING here; the Spark side caps on xxhash64(w), identical
+    * absent a 64-bit collision among the corpus windows (~n^2/2^65).
+    */
+  val substringDupsCappedSql: String = """
+WITH w AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, 30) AS w
+  FROM (SELECT doc_id, text,
+          unnest(range(1, greatest(length(text) - 29, 0) + 1)) AS i
+        FROM documents)
+  WHERE length(substr(text, i::INT, 30)) = 30
+),
+kept AS (
+  SELECT doc_id, w FROM w
+  QUALIFY count(*) OVER (PARTITION BY w) <= 2
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+FROM kept x JOIN kept y ON x.w = y.w AND x.doc_id < y.doc_id
 GROUP BY 1, 2 ORDER BY id_a, id_b"""
 
   // ----------------------------------------------------------- binary meta --

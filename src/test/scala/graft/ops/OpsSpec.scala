@@ -327,6 +327,57 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(hashed == plain)
   }
 
+  test("hot-window cap: boilerplate shared by 500 docs drops, genuine pair survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotwin").toString
+    val rng = new scala.util.Random(71)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(20)).toChar).mkString
+    // deterministic window census: docs 3..500 are EXACTLY the boilerplate
+    // (11 length-30 windows, each at df=500); docs 1-2 append a genuine
+    // duplicated tail, whose 35 junction+tail windows sit at df=2
+    val boiler = rand(40)
+    val genuine = rand(35)
+    val docs = (1L to 500L).map { i =>
+      (i, boiler + (if (i <= 2) genuine else ""))
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val (capped, dropped) = TextQueries.substringDupsHashedManaged(
+      spark, dir, 30, maxWindowDocs = 10)
+    val got = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 35L),
+      s"only the genuine pair may survive the cap: $got")
+    // drop metric: exactly the 11 boilerplate window hashes, each at 500
+    val d = dropped.collect().map(_.getLong(1))
+    assert(d.length == 11 && d.forall(_ == 500L),
+      s"drop metric must name the boilerplate windows: ${d.toSeq}")
+    // cap off: the same input pays the full 500-clique — the exact k^2
+    // blowup the policy exists to prevent (and the lossless identity:
+    // maxWindowDocs = MaxValue must equal the uncapped operator)
+    val (uncapped, noDrops) =
+      TextQueries.substringDupsHashedManaged(spark, dir, 30)
+    assert(uncapped.count() == 500L * 499 / 2)
+    assert(noDrops.count() == 0)
+
+    // LCS leg, same policy: capped LCS reports the longest run of
+    // SURVIVING windows — the 35 df=2 windows cover a 64-char fragment
+    // (35 + L - 1) of docs 1-2's true 75-char common text, a documented
+    // lower bound; boilerplate-only pairs disappear entirely
+    val small = docs.take(50).toDF("doc_id", "text")
+    val (lcs, lcsDropped) = TextQueries.substringLcsManaged(
+      small, 30, maxWindowDocs = 10)
+    val lcsGot = lcs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(lcsGot == Map((1L, 2L) -> 64L), s"capped LCS: $lcsGot")
+    assert(lcsDropped.collect().forall(_.getLong(1) == 50L))
+    val lcsUn = TextQueries.substringLcsDf(small, 30).collect()
+    assert(lcsUn.length == 50 * 49 / 2 &&
+      lcsUn.forall(_.getLong(2) >= 40L),
+      "uncapped LCS must see the boilerplate run in every pair"
+    )
+  }
+
   test("repetition stats: bigram counting edges (short docs, heavy repeats)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
