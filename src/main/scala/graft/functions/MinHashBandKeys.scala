@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * posexplode then yields no band rows, same as the UDF path).
   */
 case class MinHashBandKeys(child: Expression, kmerLen: Int, bandWidth: Int,
-    numHashes: Int) extends UnaryExpression with ExpectsInputTypes {
+    numHashes: Int, fromHash: Int = 0)
+    extends UnaryExpression with ExpectsInputTypes {
 
   // AbstractDataType is private[sql]; the inferred type conforms
   override def inputTypes = Seq(StringType)
@@ -41,7 +42,7 @@ case class MinHashBandKeys(child: Expression, kmerLen: Int, bandWidth: Int,
 
   @transient private lazy val kernel =
     new BandKeyKernel(MinHashParams(kmerLen = kmerLen, bandWidth = bandWidth,
-      numHashes = numHashes))
+      numHashes = numHashes), fromHash)
 
   override def nullSafeEval(input: Any): Any =
     kernel.eval(input.asInstanceOf[UTF8String])
@@ -61,13 +62,19 @@ case class MinHashBandKeys(child: Expression, kmerLen: Int, bandWidth: Int,
   * instance is shared by every task of a plan in an executor
   * (`addReferenceObj`), so per-instance mutable state would race.
   */
-final class BandKeyKernel(val params: MinHashParams) extends Serializable {
+final class BandKeyKernel(val params: MinHashParams, val fromHash: Int = 0)
+    extends Serializable {
+  require(fromHash >= 0 && fromHash <= params.numHashes,
+    s"fromHash $fromHash out of [0, ${params.numHashes}]")
   private val k = params.kmerLen
   private val c = params.bandWidth
-  private val h = params.numHashes
+  // hash range [fromHash, numHashes): position j in the output array is
+  // absolute hash index fromHash + j (the incremental sweep's append pass
+  // computes ONLY the new bands; fromHash = 0 is the full signature)
+  private val h = params.numHashes - fromHash
   private val prime = params.prime
-  private val as: Array[Long] = Array.tabulate(h)(params.a)
-  private val bs: Array[Long] = Array.tabulate(h)(params.b)
+  private val as: Array[Long] = Array.tabulate(h)(i => params.a(fromHash + i))
+  private val bs: Array[Long] = Array.tabulate(h)(i => params.b(fromHash + i))
   // 20^(k-1): weight of the digit leaving the rolling window
   private val high: Long = {
     var v = 1L; var i = 1

@@ -143,7 +143,16 @@ object DedupPipeline {
     * operators that need one row per document.
     */
   def signatureKeys(text: org.apache.spark.sql.Column,
-      params: MinHashParams): org.apache.spark.sql.Column = {
+      params: MinHashParams): org.apache.spark.sql.Column =
+    signatureKeysInRange(text, params, 0)
+
+  /** Band keys for the hash-index range [fromHash, params.numHashes) —
+    * array position j is absolute hash index fromHash + j. This is the
+    * incremental sweep's append pass (I1): each step computes ONLY the new
+    * bands. fromHash = 0 is the full signature.
+    */
+  def signatureKeysInRange(text: org.apache.spark.sql.Column,
+      params: MinHashParams, fromHash: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftSqlBridge
     // the native expression carries (kmerLen, bandWidth, numHashes) and
     // rebuilds MinHashParams with the DEFAULT randoms AND prime — both must
@@ -154,11 +163,15 @@ object DedupPipeline {
     if (nativeOk)
       GraftSqlBridge.column(graft.functions.MinHashBandKeys(
         GraftSqlBridge.expression(text),
-        params.kmerLen, params.bandWidth, params.numHashes))
+        params.kmerLen, params.bandWidth, params.numHashes, fromHash))
     else {
-      // one hasher per task (closure), buffers reused across rows
+      // one hasher per CLOSURE (not per row), buffers reused across rows
       val hasher = new MinHasher(params)
-      val keysUdf = udf((t: String) => hasher.bandKeys(t))
+      val until = params.numHashes
+      val keysUdf =
+        if (fromHash == 0) udf((t: String) => hasher.bandKeys(t))
+        else udf((t: String) =>
+          hasher.bandsInRange(t, fromHash, until).map(_._2))
       keysUdf(normalizeAZ(text))
     }
   }
@@ -563,12 +576,15 @@ object DedupPipeline {
       components.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     io.stage("clusters") {
-      val sizes = components.groupBy("component")
-        .agg(count(lit(1)).as("cluster_size"))
+      // cluster_size via a window over the component-partitioned join
+      // output: one exchange (by component) instead of the former
+      // aggregate-then-join shape's two (groupBy sizes + SMJ back) — the
+      // profiled stage cost is this job, not the snapshot commit
+      // (GRAFT_COMMIT_DEBUG at 4M: footers 0.04 s, manifest < 0.01 s)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
       val out = components.join(docs.select("id", "url"), "id")
-        .join(sizes, "component")
         .select(col("id"), col("url"), col("component").as("cluster"),
-          col("cluster_size"))
+          count(lit(1)).over(w).as("cluster_size"))
       if (cfg.minClusterSize > 1)
         out.where(col("cluster_size") >= cfg.minClusterSize)
       else out

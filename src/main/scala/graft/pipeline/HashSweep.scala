@@ -111,12 +111,14 @@ object HashSweep {
     def appendBands(until: Int): Unit = if (until > materialized) {
       val from = materialized
       val p = baseParams.copy(numHashes = until)
-      val bandsUdf = udf((t: String) =>
-        new MinHasher(p).bandsInRange(t, from, until))
+      // native codegen'd range kernel (allocation-free, fused
+      // normalize+shingle+c-min) — this is the production driver loop's
+      // hottest map pass; position -> absolute band index via `pos + from`
       docs
         .select(col("id"),
-          explode(bandsUdf(DedupPipeline.normalizeAZ(col("text")))).as("bk"))
-        .select(col("id"), col("bk._1").as("band"), col("bk._2").as("key"))
+          posexplode(DedupPipeline.signatureKeysInRange(col("text"), p, from))
+            .as(Seq("pos", "key")))
+        .select(col("id"), (col("pos") + from).as("band"), col("key"))
         .write.mode("append").partitionBy("band").parquet(bandDir)
       materialized = until
     }

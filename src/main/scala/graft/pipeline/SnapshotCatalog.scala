@@ -83,11 +83,14 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
 
     // 1. immutable data files; footers are read back in parallel — a
     // serial loop over hundreds of files would add seconds per commit
+    val t0 = System.nanoTime()
     df.write.mode("errorifexists").parquet(dataDir.toString)
+    val t1 = System.nanoTime()
     val newFiles = {
       import scala.collection.parallel.CollectionConverters._
       listParquet(dataDir).par.map(footerMeta).seq.toSeq
     }
+    val t2 = System.nanoTime()
 
     // 2. manifest: new files (+ parent's files when appending)
     val carried =
@@ -98,6 +101,10 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
     val manifest = metaDir(table).resolve(s"v$version.metadata.json")
     Files.write(manifest, manifestJson(snap).getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
+    if (sys.env.get("GRAFT_COMMIT_DEBUG").exists(_.toBoolean))
+      System.err.println(f"[commit] $table v$version: write ${(t1 - t0) / 1e9}%.2fs " +
+        f"footers(${newFiles.length}) ${(t2 - t1) / 1e9}%.2fs " +
+        f"manifest ${(System.nanoTime() - t2) / 1e9}%.2fs")
 
     // 3. atomic hint swap — the commit point
     val tmp = metaDir(table).resolve(s".hint-$snapId.tmp")

@@ -56,6 +56,28 @@ class MinHashBandKeysSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("range kernel [from, until) == MinHasher.bandsInRange on every split") {
+    val p = MinHashParams(numHashes = 12)
+    val rng = new scala.util.Random(67)
+    val cases = Seq("", "ABCDE", "ABCDEFG", "The quick brown fox", "ab! cd") ++
+      (0 until 20).map(_ => (0 until rng.nextInt(150))
+        .map(_ => ('a' + rng.nextInt(28)).toChar).mkString)
+    for (from <- Seq(0, 1, 5, 11, 12)) {
+      val kernel = new BandKeyKernel(p, from)
+      cases.foreach { s =>
+        val up = UTF8String.fromString(s).toUpperCase.toString
+        val norm = up.filter(ch => ch >= 'A' && ch <= 'Z')
+        val want = new MinHasher(p).bandsInRange(norm, from, p.numHashes)
+        val got = kernel.bandKeys(UTF8String.fromString(s))
+        assert(got.toSeq == want.map(_._2).toSeq,
+          s"from=$from diverged on: '$s'")
+        // and the (Int, Long) band indices line up with position + from
+        assert(want.map(_._1).toSeq == got.indices.map(_ + from),
+          s"band indices must be contiguous from $from")
+      }
+    }
+  }
+
   test("expression evaluates via codegen, no ScalaUDF in the plan") {
     val docs = Seq((1L, "The quick brown fox jumps over the lazy dog"),
       (2L, "pack my box with five dozen liquor jugs"),
