@@ -40,20 +40,40 @@ object ConnectedComponents {
     *              [[DedupConfig.ccDriverFinishMaxEdges]].
     * @return DataFrame(id: long, component: long), component = min member id
     */
+  /** @param inputMaterialized the edge input is already a cheaply
+    *              re-readable materialization (e.g. a committed stage
+    *              table) — skips the eager input localCheckpoint, which
+    *              would otherwise copy the whole edge set a second time
+    *              just to cut lineage the storage format already cut.
+    *              Only honored together with assumeCanonical (the
+    *              canonicalize path derives a NEW dataset that does need
+    *              materializing).
+    * @param knownEdgeCount exact row count of the (canonical) edge input
+    *              when the caller already has it (stage manifests carry
+    *              it) — skips the driver-finish gate's pre-count job.
+    *              -1 = unknown, count when needed.
+    */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
       maxIter: Int = 64, assumeCanonical: Boolean = false,
-      driverFinishMaxEdges: Long = 0L): DataFrame = {
+      driverFinishMaxEdges: Long = 0L, inputMaterialized: Boolean = false,
+      knownEdgeCount: Long = -1L): DataFrame = {
     import spark.implicits._
-    var cur = (if (assumeCanonical) edges.select(col("a"), col("b"))
-      else edges
-        .where(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("a"),
-          greatest(col("a"), col("b")).as("b"))
-        .distinct())
-      .as[(Long, Long)]
-      .localCheckpoint(true)
+    val skipCheckpoint = assumeCanonical && inputMaterialized
+    var cur = {
+      val base = (if (assumeCanonical) edges.select(col("a"), col("b"))
+        else edges
+          .where(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .distinct())
+        .as[(Long, Long)]
+      if (skipCheckpoint) base else base.localCheckpoint(true)
+    }
 
-    if (driverFinishMaxEdges > 0 && cur.count() <= driverFinishMaxEdges) {
+    def gateCount(): Long =
+      if (assumeCanonical && knownEdgeCount >= 0) knownEdgeCount
+      else cur.count()
+    if (driverFinishMaxEdges > 0 && gateCount() <= driverFinishMaxEdges) {
       val (ids, labels) = indexedComponents(cur.collect())
       cur.unpersist() // the labeling below no longer references the edges
       // the label table fits the driver by the gate's definition —

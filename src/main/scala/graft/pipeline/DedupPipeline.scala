@@ -551,21 +551,30 @@ object DedupPipeline {
       spark, rawPairs, docs, cfg.params, cfg.jaccardThreshold, pruneSets)
     val verified = io.stage("pairs")(verified0)
 
-    val pairs =
-      if (cfg.shinglingIterations <= 1) verified
-      else io.stage("pairs_dense") {
+    val (pairsStage, pairs) =
+      if (cfg.shinglingIterations <= 1) ("pairs", verified)
+      else ("pairs_dense", io.stage("pairs_dense") {
         (2 to cfg.shinglingIterations).foldLeft(verified) { (e, _) =>
           VertexShingling.densify(spark, e, cfg.params, cfg.maxBucketSize,
             cfg.saltBlockSize, cfg.saltDetectFraction)
         }
-      }
+      })
 
+    // in stage mode the pair table is committed parquet: CC can skip its
+    // eager input checkpoint (the stage IS the materialization) and take
+    // the driver-finish gate's exact edge count from the manifest instead
+    // of a count job — two input-size-invariant latencies off the one
+    // stage that runs a fixed driver finish at both parallelism levels
+    val pairsRows = io.catalog.filter(_.exists(pairsStage))
+      .map(c => c.snapshot(pairsStage, c.currentVersion(pairsStage)).rows)
     val components = io.stage("components") {
       // pair generation emits canonical distinct (a < b) pairs and
       // verify/densify preserve that — skip CC's canonicalize shuffle
       ConnectedComponents.run(spark, pairs, docs.select("id"),
         assumeCanonical = true,
-        driverFinishMaxEdges = cfg.ccDriverFinishMaxEdges)
+        driverFinishMaxEdges = cfg.ccDriverFinishMaxEdges,
+        inputMaterialized = io.catalog.nonEmpty,
+        knownEdgeCount = pairsRows.getOrElse(-1L))
     }
     // the pairs have been fully materialized by now (stage write, or the
     // eager localCheckpoint of CC's first iteration) — release the verify
