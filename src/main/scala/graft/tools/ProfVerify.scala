@@ -55,7 +55,13 @@ object ProfVerify {
       .where(keep(col("sha"), col("shb")))
       .select("a", "b")
     t("pair joins + filter + count")(out.count())
-    t("write")(out.write.mode("overwrite").parquet(s"$dir/_prof_out"))
+    t("write (join recompute + parquet)")(
+      out.write.mode("overwrite").parquet(s"$dir/_prof_out"))
+    // decompose: cached result -> pure parquet encode+write cost
+    val cached = out.persist()
+    t("join recompute -> cache")(cached.count())
+    t("pure write from cache")(
+      cached.write.mode("overwrite").parquet(s"$dir/_prof_out2"))
     spark.stop()
   }
 }
