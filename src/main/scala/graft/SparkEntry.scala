@@ -109,7 +109,12 @@ object SparkEntry {
     // before the self-join — the k^2 hot-key cap in action (at sf0.01 the
     // cap of 2 really drops the doc-frequency-3 windows)
     "q35_substring_capped" ->
-      ((s, d) => T.substringDupsHashed(s, d, 30, maxWindowDocs = 2))
+      ((s, d) => T.substringDupsHashed(s, d, 30, maxWindowDocs = 2)),
+    // batch-vs-corpus incremental dedup (daily-ingest shape): LSH bands
+    // of the batch join the standing corpus band table, exact-Jaccard
+    // verified with the integer 3i >= |A|+|B| gate — never a corpus
+    // self-join
+    "q36_corpus_dedup" -> ((s, d) => M.corpusDedupFlags(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -147,6 +152,7 @@ object SparkEntry {
     "q32_curation" -> T.curationSql,
     "q33_corpus_stats" -> T.corpusStatsSql,
     "q34_repetition" -> T.repetitionSql,
-    "q35_substring_capped" -> T.substringDupsCappedSql
+    "q35_substring_capped" -> T.substringDupsCappedSql,
+    "q36_corpus_dedup" -> M.corpusDedupSql
   )
 }

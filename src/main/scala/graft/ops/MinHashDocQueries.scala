@@ -288,6 +288,55 @@ object MinHashDocQueries {
     d.join(canon, "text").select("doc_id", "canonical_id").orderBy("doc_id")
   }
 
+  /** Batch-vs-corpus incremental dedup (the daily-ingest shape at 100 TB:
+    * a new crawl batch deduped against the standing index WITHOUT
+    * re-pairing the corpus against itself). LSH band keys of the batch
+    * equi-join the corpus band table — at scale the batch side is the
+    * small daily increment (broadcast / AQE), and the corpus side is the
+    * standing partitioned band table, so no corpus self-join ever runs.
+    * Candidates are verified by exact shingle-set Jaccard >= 1/2 with the
+    * integer-exact gate 3*|inter| >= |A| + |B| (equivalent to
+    * i/(|A|+|B|-i) >= 1/2, no float compare). Streaming analogue:
+    * [[graft.streaming.StreamingDedup.againstCorpus]].
+    *
+    * @return (doc_id, dup_of): batch docs that verified against >= 1
+    *         corpus doc, labeled by the minimum matching corpus id
+    */
+  def dedupAgainstCorpus(spark: SparkSession, batch: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val k = Ops.KmerLen
+    def sig(d: DataFrame, as: String): DataFrame =
+      DedupPipeline.signatures(spark,
+        d.select(col("id"), col("t").as("text")), params)
+        .select(col("id").as(as), col("band"), col("key"))
+    val cand = sig(batch, "doc_id")
+      .join(sig(corpus, "dup_of"), Seq("band", "key"))
+      .select("doc_id", "dup_of").distinct()
+    val setOf = udf((t: String) => Shingler.shingleSet(t, k))
+    val interOf = udf((x: Array[Long], y: Array[Long]) =>
+      Shingler.intersectionSize(x, y).toLong)
+    val bsets = batch.select(col("id").as("doc_id"), setOf(col("t")).as("shb"))
+    val csets = corpus.select(col("id").as("dup_of"), setOf(col("t")).as("shc"))
+    cand.join(bsets, "doc_id").join(csets, "dup_of")
+      .select(col("doc_id"), col("dup_of"),
+        interOf(col("shb"), col("shc")).as("i"),
+        (size(col("shb")) + size(col("shc"))).cast("long").as("apb"))
+      .where(lit(3L) * col("i") >= col("apb"))
+      .groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** [[dedupAgainstCorpus]] as a gate query: documents with id < `split`
+    * are the standing corpus, the rest are the incoming batch.
+    */
+  def corpusDedupFlags(spark: SparkSession, dir: String,
+      split: Long = 250L): DataFrame = {
+    val docs = normalizedDocs(spark, dir)
+      .select(col("doc_id").as("id"), col("t"))
+    dedupAgainstCorpus(spark,
+      docs.where(col("id") >= split), docs.where(col("id") < split))
+  }
+
   // ---------------------------------------------------------------- SQL --
 
   /** Shared CTE chain computing the signatures in pure SQL (validated on
@@ -378,6 +427,34 @@ LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 JOIN set_sizes za ON za.doc_id = p.id_a
 JOIN set_sizes zb ON zb.doc_id = p.id_b
 ORDER BY p.id_a, p.id_b"""
+
+  /** Oracle for [[corpusDedupFlags]]: the same LSH candidate restriction
+    * (cross-split pairs only) and the integer-exact Jaccard >= 1/2 gate.
+    */
+  val corpusDedupSql: String = s"""WITH $pairsCtes,
+shingle_sets AS (SELECT DISTINCT doc_id, kv FROM kmers),
+set_sizes AS (SELECT doc_id, count(*) AS n FROM shingle_sets GROUP BY doc_id),
+cross_pairs AS (
+  SELECT id_a AS dup_of, id_b AS doc_id FROM lsh_pairs
+  WHERE id_a < 250 AND id_b >= 250
+),
+inter AS (
+  SELECT p.doc_id, p.dup_of, count(*) AS inter_size
+  FROM cross_pairs p
+  JOIN shingle_sets sa ON sa.doc_id = p.dup_of
+  JOIN shingle_sets sb ON sb.doc_id = p.doc_id AND sb.kv = sa.kv
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT p.doc_id, p.dup_of
+  FROM cross_pairs p
+  JOIN set_sizes za ON za.doc_id = p.dup_of
+  JOIN set_sizes zb ON zb.doc_id = p.doc_id
+  LEFT JOIN inter i ON i.doc_id = p.doc_id AND i.dup_of = p.dup_of
+  WHERE 3 * coalesce(i.inter_size, 0) >= za.n + zb.n
+)
+SELECT doc_id, min(dup_of) AS dup_of FROM verified
+GROUP BY doc_id ORDER BY doc_id"""
 
   val clusterSizesSql: String = s"""WITH RECURSIVE $clustersCtes
 SELECT cluster_id, count(*) AS n FROM clusters

@@ -318,6 +318,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length == 16))
   }
 
+  test("corpus dedup: batch-vs-corpus == cross-split slice of full verify") {
+    // the incremental form must flag exactly the batch docs whose verified
+    // (Jaccard >= 1/2) LSH pairs cross the corpus/batch split, labeled by
+    // the min matching corpus id — derived here from the independent
+    // full-pair jaccard query (2i >= union <=> 3i >= |A|+|B|)
+    val want = MinHashDocQueries.jaccard(spark, sf).collect()
+      .filter(r => r.getLong(0) < 250 && r.getLong(1) >= 250)
+      .filter(r => 2 * r.getLong(2) >= r.getLong(3))
+      .groupBy(_.getLong(1))
+      .map { case (b, rs) => b -> rs.map(_.getLong(0)).min }
+    val got = MinHashDocQueries.corpusDedupFlags(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "fixture must contain cross-split duplicates")
+    assert(got == want)
+  }
+
   test("substring dups: hashed+verified scale form == string-grouped form") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
