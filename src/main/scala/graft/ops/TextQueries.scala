@@ -121,7 +121,13 @@ FROM sim ORDER BY doc_id"""
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
           element_at(toks, i + 3)))))
       .otherwise(array().cast("array<string>"))
+    // repartition BEFORE the gram transform: the documents scan often
+    // yields fewer splits than cores (one small parquet file at gate
+    // scale), and the n-gram array build is the query's dominant CPU —
+    // without this it runs at scan parallelism (measured 19.9 s vs 1.6 s
+    // at sf0.1/local[32] when removed)
     val g = Ops.table(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), grams.as("g"))
     val a = g.select(col("doc_id").as("id_a"), col("g").as("ga"))
     val b = g.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
@@ -508,7 +514,19 @@ FROM per GROUP BY doc_id ORDER BY doc_id"""
       .groupBy("doc_id", "h")
       .agg(collect_set(col("w")).as("ws"))
       .select(col("doc_id"), col("h"), explode(col("ws")).as("w"))
-    val (kept, dropped) = capHotWindows(w, maxWindowDocs)
+    // the frame is deduped per (doc, h), so a count over the h window IS
+    // the per-hash doc count — detection rides the same h-partitioning
+    // the self-join needs (no separate aggregate pass + anti-join; the
+    // capped q35 measured at parity with uncapped q29 this way)
+    val (kept, dropped) =
+      if (maxWindowDocs == Int.MaxValue) (w, emptyDropped(w))
+      else {
+        val win = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        val counted = w.withColumn("n_docs", count(lit(1)).over(win))
+        (counted.where(col("n_docs") <= maxWindowDocs).drop("n_docs"),
+          counted.where(col("n_docs") > maxWindowDocs)
+            .select(col("h"), col("n_docs")).distinct())
+      }
     // exact verification as <=/>= (equivalent to equality for the non-null
     // windows here): a plain `x.w === y.w` would be EXTRACTED by Catalyst
     // into an equi-join KEY, putting the string back into the exchange
@@ -523,22 +541,28 @@ FROM per GROUP BY doc_id ORDER BY doc_id"""
     (pairs, dropped)
   }
 
-  /** Shared hot-window policy: drop window-hash keys whose distinct-doc
-    * count exceeds `maxWindowDocs` from a per-doc-deduped (doc_id, h, ...)
-    * frame. Counting is per HASH (the join's actual skew key — xxhash64
-    * collisions, ~n^2/2^65, would only make the cap marginally more
-    * conservative, never less). Returns (kept, dropped(h, n_docs)).
+  /** Hot-window policy for an OCCURRENCE frame (multiple rows per
+    * (doc, h) — the LCS leg): drop window-hash keys whose DISTINCT-doc
+    * count exceeds `maxWindowDocs`. Counting is per HASH (the join's
+    * actual skew key — xxhash64 collisions, ~n^2/2^65, would only make
+    * the cap marginally more conservative, never less). The dedup+count
+    * shuffles (h, doc_id) with map-side partial dedup, skew-proof; the
+    * tiny hot set joins back left_anti. Returns (kept, dropped(h, n_docs)).
     */
   private def capHotWindows(w: DataFrame, maxWindowDocs: Int)
       : (DataFrame, DataFrame) = {
-    val counts = w.select(col("h"), col("doc_id")).distinct()
-      .groupBy("h").agg(count(lit(1)).as("n_docs"))
-    if (maxWindowDocs == Int.MaxValue) (w, counts.where(lit(false)))
+    if (maxWindowDocs == Int.MaxValue) (w, emptyDropped(w))
     else {
-      val dropped = counts.where(col("n_docs") > maxWindowDocs)
+      val dropped = w.select(col("h"), col("doc_id")).distinct()
+        .groupBy("h").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") > maxWindowDocs)
       (w.join(dropped.select("h"), Seq("h"), "left_anti"), dropped)
     }
   }
+
+  /** Typed empty (h, n_docs) drop-metrics frame for the uncapped path. */
+  private def emptyDropped(w: DataFrame): DataFrame =
+    w.select(col("h"), lit(0L).as("n_docs")).where(lit(false))
 
   /** True longest-common-substring (>= L) per candidate doc pair — the
     * suffix-array LCS semantics, restated relationally: a shared substring
