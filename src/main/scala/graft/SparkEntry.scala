@@ -114,7 +114,14 @@ object SparkEntry {
     // of the batch join the standing corpus band table, exact-Jaccard
     // verified with the integer 3i >= |A|+|B| gate — never a corpus
     // self-join
-    "q36_corpus_dedup" -> ((s, d) => M.corpusDedupFlags(s, d))
+    "q36_corpus_dedup" -> ((s, d) => M.corpusDedupFlags(s, d)),
+    // benchmark decontamination: corpus docs sharing any length-30 window
+    // with the (broadcast-small) benchmark split are flagged for
+    // exclusion from training
+    "q37_decontaminate" -> ((s, d) => T.decontaminate(s, d)),
+    // word-5-gram document-frequency census — the df table boilerplate
+    // scrub policies read
+    "q38_ngram_census" -> ((s, d) => T.ngramDfCensus(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -153,6 +160,8 @@ object SparkEntry {
     "q33_corpus_stats" -> T.corpusStatsSql,
     "q34_repetition" -> T.repetitionSql,
     "q35_substring_capped" -> T.substringDupsCappedSql,
-    "q36_corpus_dedup" -> M.corpusDedupSql
+    "q36_corpus_dedup" -> M.corpusDedupSql,
+    "q37_decontaminate" -> T.decontaminateSql,
+    "q38_ngram_census" -> T.ngramDfCensusSql
   )
 }

@@ -657,6 +657,95 @@ SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
 FROM w x JOIN w y ON x.w = y.w AND x.doc_id < y.doc_id
 GROUP BY 1, 2 ORDER BY id_a, id_b"""
 
+  /** Benchmark decontamination — the training-data staple the substring
+    * machinery exists for: flag corpus documents sharing any length-L
+    * character window with a benchmark/eval set, so test data can be
+    * excluded from training. Same 8-byte-hash join discipline as
+    * [[substringDupsHashed]] (hash-keyed exchange, exact string
+    * verification as a non-extractable range predicate). At scale the
+    * benchmark side is tiny (eval suites are MBs, the corpus is TBs) —
+    * its deduped window table broadcasts, so the corpus is ONE map-side
+    * pass, no corpus shuffle at all.
+    *
+    * @param isBench predicate splitting the documents table into the
+    *                benchmark set and the candidate corpus
+    * @return (doc_id, bench_id, n_windows): contaminated corpus docs with
+    *         the min matching benchmark id and the count of distinct
+    *         shared windows
+    */
+  def decontaminate(spark: SparkSession, dir: String, L: Int = 30,
+      isBench: Column => Column = _ % 17 === 0): DataFrame = {
+    val w = windowsRaw(spark, dir, L)
+      .select(col("doc_id"), col("w"), xxhash64(col("w")).as("h"))
+      .groupBy("doc_id", "h")
+      .agg(collect_set(col("w")).as("ws"))
+      .select(col("doc_id"), col("h"), explode(col("ws")).as("w"))
+    val bench = w.where(isBench(col("doc_id")))
+    val corpus = w.where(!isBench(col("doc_id")))
+    corpus.as("c").join(broadcast(bench.as("b")),
+        col("c.h") === col("b.h")
+          && col("c.w") <= col("b.w") && col("c.w") >= col("b.w"))
+      .groupBy(col("c.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("bench_id"),
+        countDistinct(col("c.w")).as("n_windows"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = """
+WITH w AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, 30) AS w
+  FROM (SELECT doc_id, text,
+          unnest(range(1, greatest(length(text) - 29, 0) + 1)) AS i
+        FROM documents)
+  WHERE length(substr(text, i::INT, 30)) = 30
+),
+m AS (
+  SELECT c.doc_id, b.doc_id AS bench_id, c.w
+  FROM w c JOIN w b ON c.w = b.w
+  WHERE b.doc_id % 17 = 0 AND c.doc_id % 17 <> 0
+)
+SELECT doc_id, min(bench_id) AS bench_id,
+  count(DISTINCT w) AS n_windows
+FROM m GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Word-5-gram document-frequency census: the table that feeds
+    * boilerplate-scrub policies (C4's "three-sentence spans seen more
+    * than once" class of rules) and the [[substringDupsHashedManaged]]
+    * maxWindowDocs knob with data. Emits every 5-gram present in more
+    * than `minDf` distinct documents. Grouping keys on the gram STRING
+    * here for oracle value-exactness; the scale form is the same
+    * aggregate keyed on xxhash64(gram) — identical partial-aggregation
+    * shape, 8-byte exchange keys.
+    */
+  def ngramDfCensus(spark: SparkSession, dir: String, n: Int = 5,
+      minDf: Long = 2L): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val grams = when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+    Ops.table(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") > minDf)
+      .orderBy(desc("df"), col("gram"))
+  }
+
+  val ngramDfCensusSql: String = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks)
+  WHERE len(t) >= 5
+)
+SELECT gram, count(*) AS df FROM grams GROUP BY gram
+HAVING count(*) > 2 ORDER BY df DESC, gram"""
+
   /** Oracle for the maxWindowDocs = 2 capped form: the cap is stated on
     * the window STRING here; the Spark side caps on xxhash64(w), identical
     * absent a 64-bit collision among the corpus windows (~n^2/2^65).
