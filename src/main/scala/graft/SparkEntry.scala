@@ -121,7 +121,10 @@ object SparkEntry {
     "q37_decontaminate" -> ((s, d) => T.decontaminate(s, d)),
     // word-5-gram document-frequency census — the df table boilerplate
     // scrub policies read
-    "q38_ngram_census" -> ((s, d) => T.ngramDfCensus(s, d))
+    "q38_ngram_census" -> ((s, d) => T.ngramDfCensus(s, d)),
+    // canonical-representative selection: the doc each dup cluster KEEPS
+    // (longest text, id tie-break) — one window pass per cluster
+    "q39_keep_per_cluster" -> ((s, d) => M.keepPerCluster(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +165,7 @@ object SparkEntry {
     "q35_substring_capped" -> T.substringDupsCappedSql,
     "q36_corpus_dedup" -> M.corpusDedupSql,
     "q37_decontaminate" -> T.decontaminateSql,
-    "q38_ngram_census" -> T.ngramDfCensusSql
+    "q38_ngram_census" -> T.ngramDfCensusSql,
+    "q39_keep_per_cluster" -> M.keepPerClusterSql
   )
 }

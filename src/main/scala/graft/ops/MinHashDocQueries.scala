@@ -337,6 +337,46 @@ object MinHashDocQueries {
       docs.where(col("id") >= split), docs.where(col("id") < split))
   }
 
+  /** Canonical-representative selection: for every near-dup cluster with
+    * >= 2 members, pick the doc to KEEP — longest text, doc_id as the
+    * deterministic tie-break (a curation pipeline keeps one survivor per
+    * cluster and drops the rest). One window pass over the
+    * cluster-partitioned assignment join; at scale this is the same
+    * single-exchange shape as the pipeline's clusters stage.
+    *
+    * @return (cluster_id, keep_id, n_members)
+    */
+  def keepPerCluster(spark: SparkSession, dir: String): DataFrame = {
+    val sized = clusters(spark, dir)
+      .join(Ops.table(spark, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    sized
+      .withColumn("rn", row_number().over(
+        w.orderBy(desc("len"), col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .where(col("rn") === 1 && col("n_members") >= 2)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members").cast("long").as("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  // lazy: clustersCtes is declared later in this object (SQL section) —
+  // a strict val here would capture null at object init
+  lazy val keepPerClusterSql: String = s"""WITH RECURSIVE $clustersCtes,
+sized AS (
+  SELECT c.cluster_id, c.doc_id, length(d.text) AS len
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+keep_ranked AS (
+  SELECT cluster_id, doc_id, len,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS n
+  FROM sized
+)
+SELECT cluster_id, doc_id AS keep_id, n::BIGINT AS n_members
+FROM keep_ranked WHERE rn = 1 AND n >= 2 ORDER BY cluster_id"""
+
   // ---------------------------------------------------------------- SQL --
 
   /** Shared CTE chain computing the signatures in pure SQL (validated on

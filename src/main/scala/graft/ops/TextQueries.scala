@@ -687,7 +687,10 @@ GROUP BY 1, 2 ORDER BY id_a, id_b"""
           && col("c.w") <= col("b.w") && col("c.w") >= col("b.w"))
       .groupBy(col("c.doc_id").as("doc_id"))
       .agg(min(col("b.doc_id")).as("bench_id"),
-        countDistinct(col("c.w")).as("n_windows"))
+        // distinct HASHES, not strings: the distinct-agg's expand exchange
+        // then keys on (doc_id, h) — 8 bytes — instead of window strings;
+        // equal to distinct-window counting absent xxhash64 collisions
+        countDistinct(col("c.h")).as("n_windows"))
       .orderBy("doc_id")
   }
 

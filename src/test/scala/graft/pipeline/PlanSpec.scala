@@ -127,6 +127,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("decontaminate plan: benchmark side broadcasts; no string shuffle keys") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = graft.ops.TextQueries.decontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"benchmark window table must broadcast (one corpus map pass):\n$plan")
+    val keys = "(?:hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(!keys.exists(_.contains("w#")),
+      s"window strings must never be shuffle keys: $keys")
+  }
+
   test("evaluator size joins: broadcast when small, shuffled when forced big") {
     import spark.implicits._
     val x = (1L to 100L).map(i => (i, i % 7)).toDF("member", "label")
