@@ -124,7 +124,11 @@ object SparkEntry {
     "q38_ngram_census" -> ((s, d) => T.ngramDfCensus(s, d)),
     // canonical-representative selection: the doc each dup cluster KEEPS
     // (longest text, id tie-break) — one window pass per cluster
-    "q39_keep_per_cluster" -> ((s, d) => M.keepPerCluster(s, d))
+    "q39_keep_per_cluster" -> ((s, d) => M.keepPerCluster(s, d)),
+    // per-user sessionization via the native session_window (the exact
+    // operator the streaming form runs with a watermark); oracle
+    // re-derives the merge semantics gaps-and-islands style
+    "q40_sessions" -> ((s, d) => T.sessions(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -166,6 +170,7 @@ object SparkEntry {
     "q36_corpus_dedup" -> M.corpusDedupSql,
     "q37_decontaminate" -> T.decontaminateSql,
     "q38_ngram_census" -> T.ngramDfCensusSql,
-    "q39_keep_per_cluster" -> M.keepPerClusterSql
+    "q39_keep_per_cluster" -> M.keepPerClusterSql,
+    "q40_sessions" -> T.sessionsSql
   )
 }

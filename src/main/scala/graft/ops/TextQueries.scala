@@ -840,4 +840,45 @@ SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
   count(*) AS n_events,
   sum(floor(value * 100))::BIGINT AS sum_cents
 FROM events GROUP BY user_id, hour_us ORDER BY user_id, hour_us"""
+
+  /** Per-user sessionization: events within `gap` of each other merge into
+    * one session. Uses Spark's native `session_window` (the same operator
+    * the streaming form runs with a watermark — see
+    * [[graft.streaming.StreamingDedup.sessions]]); the oracle re-derives
+    * the identical sessions with the gaps-and-islands idiom, so the
+    * built-in's merge semantics are value-verified.
+    * Output (user_id, start_us, end_us, n_events) — session bounds as the
+    * min/max EVENT times (the builtin's window.end is last-event + gap,
+    * deliberately not emitted so the compare is engine-neutral).
+    */
+  def sessions(spark: SparkSession, dir: String,
+      gap: String = "30 minutes"): DataFrame =
+    Ops.table(spark, dir, "events")
+      // the parquet column is TIMESTAMP_NTZ; cast once (session tz is UTC,
+      // so the cast is identity and epoch_us stays engine-neutral)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_us", "end_us", "n_events")
+      .orderBy("user_id", "start_us")
+
+  val sessionsSql: String = """
+WITH flags AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+    sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+  count(*) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us"""
 }

@@ -40,6 +40,23 @@ object StreamingDedup {
         unix_micros(col("window.start")).as("hour_us"),
         col("n_events"), col("sum_cents"))
 
+  /** Watermarked streaming sessionization — the native `session_window`
+    * with merge-on-arrival state: sessions stay open while events keep
+    * arriving within `gap` and finalize once the watermark passes, the
+    * same bounded-state discipline as [[hourlyEvents]]. Value-equal to
+    * the batch form (`TextQueries.sessions`), whose gaps-and-islands
+    * DuckDB oracle verifies the merge semantics.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+
   /** Streaming dedup against a STATIC reference corpus — "drop documents
     * already in the training set", the standard curation-pipeline shape.
     * The corpus's LSH band table is folded ONCE into a Bloom filter over

@@ -69,6 +69,46 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     assert(want.subsetOf(got), s"missing windows: ${want.diff(got)}")
   }
 
+  test("streaming sessionization matches the batch session_window form") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = StreamingDedup.sessions(events)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val wave = Seq(
+      (1L, ts("2020-01-01 10:00:00")), // session A: 3 events, 29-min gaps
+      (1L, ts("2020-01-01 10:29:00")),
+      (1L, ts("2020-01-01 10:58:00")),
+      (1L, ts("2020-01-01 12:00:00")), // session B (62-min gap)
+      (2L, ts("2020-01-01 10:15:00"))) // session C
+    input.addData(wave)
+    q.processAllAvailable()
+    // push the watermark past every session so append mode finalizes them
+    input.addData(Seq((9L, ts("2020-01-02 00:00:00"))))
+    q.processAllAvailable()
+    input.addData(Seq((9L, ts("2020-01-02 12:00:00"))))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT user_id, start_us, end_us, n_events FROM sessions_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    q.stop()
+    // batch oracle: the same session_window aggregation (whose own merge
+    // semantics are value-verified against DuckDB gaps-and-islands by q40)
+    val want = wave.toDF("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(unix_micros(min(col("ts"))).as("s"),
+        unix_micros(max(col("ts"))).as("e"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(want.subsetOf(got), s"missing sessions: ${want.diff(got)}")
+    // and the merge really happened: user 1's first session spans 3 events
+    assert(got.exists(s => s._1 == 1L && s._4 == 3L),
+      s"29-min-gap events must merge into one session: $got")
+  }
+
   test("streaming LSH pairs converge to the batch candidate set") {
     implicit val sc = spark.sqlContext
     val params = MinHashParams(numHashes = 8)
