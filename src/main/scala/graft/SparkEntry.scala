@@ -128,7 +128,10 @@ object SparkEntry {
     // per-user sessionization via the native session_window (the exact
     // operator the streaming form runs with a watermark); oracle
     // re-derives the merge semantics gaps-and-islands style
-    "q40_sessions" -> ((s, d) => T.sessions(s, d))
+    "q40_sessions" -> ((s, d) => T.sessions(s, d)),
+    // empirical band-collision stats per consecutive pair — the s^c
+    // estimator the sweep's convergence criterion rides on
+    "q41_band_match" -> ((s, d) => M.bandMatchStats(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,6 +174,7 @@ object SparkEntry {
     "q37_decontaminate" -> T.decontaminateSql,
     "q38_ngram_census" -> T.ngramDfCensusSql,
     "q39_keep_per_cluster" -> M.keepPerClusterSql,
-    "q40_sessions" -> T.sessionsSql
+    "q40_sessions" -> T.sessionsSql,
+    "q41_band_match" -> M.bandMatchStatsSql
   )
 }

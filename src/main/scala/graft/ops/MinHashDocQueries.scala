@@ -337,6 +337,38 @@ object MinHashDocQueries {
       docs.where(col("id") >= split), docs.where(col("id") < split))
   }
 
+  /** Band-collision statistics for consecutive doc pairs: of the bands
+    * where BOTH docs carry a signature, how many collide ((m1, m2) equal)?
+    * `n_matching / n_bands` is the empirical estimate of the Jaccard-driven
+    * collision probability s^c — the statistic the hash sweep's
+    * convergence criterion rides on (more bands -> collision count
+    * concentrates; `minhash_clustering.cpp:219-258`). Deterministic linear
+    * pair set, same shape as [[TextQueries.ngramJaccard]].
+    *
+    * @return (id_a, id_b, n_matching_bands, n_bands)
+    */
+  def bandMatchStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = signatures(spark, dir)
+    val a = s.select(col("doc_id").as("id_a"), col("hash_idx"),
+      col("m1").as("m1a"), col("m2").as("m2a"))
+    val b = s.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      col("hash_idx"), col("m1").as("m1b"), col("m2").as("m2b"))
+    a.join(b, Seq("id_a", "hash_idx"))
+      .groupBy("id_a", "id_b")
+      .agg(count(when(col("m1a") === col("m1b")
+          && col("m2a") === col("m2b"), 1)).as("n_matching_bands"),
+        count(lit(1)).as("n_bands"))
+      .orderBy("id_a")
+  }
+
+  lazy val bandMatchStatsSql: String = s"""WITH $sigCtes
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  count(*) FILTER (WHERE a.m1 = b.m1 AND a.m2 = b.m2) AS n_matching_bands,
+  count(*) AS n_bands
+FROM sigs a JOIN sigs b
+  ON b.doc_id = a.doc_id + 1 AND b.hash_idx = a.hash_idx
+GROUP BY 1, 2 ORDER BY id_a"""
+
   /** Canonical-representative selection: for every near-dup cluster with
     * >= 2 members, pick the doc to KEEP — longest text, doc_id as the
     * deterministic tie-break (a curation pipeline keeps one survivor per
