@@ -56,11 +56,7 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       pages.unpersist()
       // a bench must not leak ~2 GB of stage parquet per invocation
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-        f.delete(): Unit
-      }
-      rmRf(new java.io.File(stageDir))
+      graft.tools.Fs.rmRf(new java.io.File(stageDir))
       (nOut, nPages, sec)
     }
     // Pipeline blocks run BENCH_PIPELINE_REPS times (default 3) and report

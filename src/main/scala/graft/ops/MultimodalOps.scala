@@ -144,30 +144,35 @@ object MultimodalOps {
         else {
           val id = tag(b, o.toInt + 4)
           val p = (o + hdr).toInt // payload start (header is 8 or 16 bytes)
+          // field reads are bounded by the box's OWN declared end, not just
+          // the enclosing range — a short box must not read its sibling's
+          // bytes as field values (e.g. an sz=8 ftyp reporting the next
+          // box's size field as the brand)
+          val end = (o + sz).toInt
           id match {
-            case "ftyp" if o + hdr + 4 <= until => brand = tag(b, p)
+            case "ftyp" if p + 4 <= end => brand = tag(b, p)
             case "moov" | "trak" if depth < maxDepth => // containers
               // preserve DFS order: finish this range after the container
               stack = ((o + hdr, o + sz, depth + 1)) ::
                 ((o + sz, until, depth)) :: stack
               walking = false
-            case "mvhd" if o + hdr + 4 <= until =>
+            case "mvhd" if p + 4 <= end =>
               val v = b(p) & 0xFF
-              if (v == 1 && p + 4 + 16 + 12 <= until) {
+              if (v == 1 && p + 4 + 16 + 12 <= end) {
                 timescale = u32be(b, p + 4 + 16)
                 duration = u64be(b, p + 4 + 20)
-              } else if (v == 0 && p + 4 + 8 + 8 <= until) {
+              } else if (v == 0 && p + 4 + 8 + 8 <= end) {
                 timescale = u32be(b, p + 4 + 8)
                 duration = u32be(b, p + 4 + 12)
               }
-            case "tkhd" if o + hdr + 4 <= until =>
+            case "tkhd" if p + 4 <= end =>
               val v = b(p) & 0xFF
               val base = p + 4 // past version+flags
               // v0 body: creation/mod/track/reserved/duration (20) + reserved
               // (8) + layer/alt/volume/reserved (8) + matrix (36) = 72 to
               // width; v1 widens the three time fields by 4 each (+12)
               val wOff = if (v == 1) base + 84 else base + 72
-              if (wOff + 8 <= until) {
+              if (wOff + 8 <= end) {
                 width = (u32be(b, wOff) >> 16).toInt // 16.16 fixed point
                 height = (u32be(b, wOff + 4) >> 16).toInt
               }

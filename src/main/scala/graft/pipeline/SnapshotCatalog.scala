@@ -101,7 +101,10 @@ final class SnapshotCatalog(spark: SparkSession, warehouse: String) {
     val manifest = metaDir(table).resolve(s"v$version.metadata.json")
     Files.write(manifest, manifestJson(snap).getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
-    if (sys.env.get("GRAFT_COMMIT_DEBUG").exists(_.toBoolean))
+    // tolerant parse: a debug knob must never crash a commit ("1"/"yes"
+    // would throw in String.toBoolean)
+    if (sys.env.get("GRAFT_COMMIT_DEBUG")
+        .exists(v => v.equalsIgnoreCase("true") || v == "1"))
       System.err.println(f"[commit] $table v$version: write ${(t1 - t0) / 1e9}%.2fs " +
         f"footers(${newFiles.length}) ${(t2 - t1) / 1e9}%.2fs " +
         f"manifest ${(System.nanoTime() - t2) / 1e9}%.2fs")

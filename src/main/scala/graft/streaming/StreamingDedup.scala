@@ -88,6 +88,15 @@ object StreamingDedup {
   final case class BandRow(id: Long, band: Int, key: Long)
   final case class CandidatePair(a: Long, b: Long)
 
+  private def isSorted(xs: Array[Long]): Boolean = {
+    var i = 1
+    while (i < xs.length) {
+      if (xs(i - 1) > xs(i)) return false
+      i += 1
+    }
+    true
+  }
+
   /** Streaming LSH candidate pairs: per (band, key) bucket, keep the set of
     * member ids in state; each new member emits a canonical pair against
     * every existing member (the streaming form of `draw_graph`,
@@ -127,6 +136,14 @@ object StreamingDedup {
             // insert, and none of the per-event whole-set copying (and
             // boxed-Long garbage) an immutable Set state would churn
             var members = state.getOption.getOrElse(Array.emptyLongArray)
+            // state restored from a checkpoint written by the former
+            // Set[Long] encoding deserializes as the SAME array<bigint>
+            // shape but in arbitrary set order — re-establish the sorted
+            // invariant instead of silently mis-binary-searching
+            if (!isSorted(members)) {
+              members = members.clone()
+              java.util.Arrays.sort(members)
+            }
             var dirty = false
             val out = Iterator.newBuilder[CandidatePair]
             rows.foreach { r =>

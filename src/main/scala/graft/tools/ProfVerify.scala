@@ -62,6 +62,12 @@ object ProfVerify {
     t("join recompute -> cache")(cached.count())
     t("pure write from cache")(
       cached.write.mode("overwrite").parquet(s"$dir/_prof_out2"))
+    cached.unpersist()
+    sets.unpersist()
+    pairs.unpersist()
+    // a diagnostic must not leave stage-sized parquet in the corpus dir
+    Fs.rmRf(new java.io.File(s"$dir/_prof_out"))
+    Fs.rmRf(new java.io.File(s"$dir/_prof_out2"))
     spark.stop()
   }
 }

@@ -56,13 +56,9 @@ object SweepBench {
     println(f"sweep docs=$n steps=${res.steps.length} " +
       f"shingling_iterations=$shingIters seconds=$sec%.1f " +
       f"sec_per_step=$perStep%.1f docs_per_sec_per_step=${n / perStep}%.0f")
-    def rmRf(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-      f.delete(): Unit
-    }
     if (!sys.env.contains("SWEEP_DIR")) {
-      rmRf(new java.io.File(bandDir))
-      rmRf(new java.io.File(s"$bandDir.vertex")) // I2 cache sibling dir
+      Fs.rmRf(new java.io.File(bandDir))
+      Fs.rmRf(new java.io.File(s"$bandDir.vertex")) // I2 cache sibling dir
     }
     spark.stop()
   }

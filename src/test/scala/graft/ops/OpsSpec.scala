@@ -149,6 +149,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     shortLarge.putInt(1); shortLarge.put("mdat".getBytes); shortLarge.putInt(0)
     assert(MultimodalOps.decodeMp4Meta(shortLarge.array()).get.brand == "isom")
 
+    // a box's field reads are bounded by its OWN size: a size-8 ftyp
+    // (empty payload) followed by a sibling must not report the sibling's
+    // size bytes as the brand, and a short mvhd must not read timescale
+    // from the next box's payload
+    val shortBoxes = java.nio.ByteBuffer.allocate(8 + 12 + 16)
+    shortBoxes.putInt(8); shortBoxes.put("ftyp".getBytes) // empty ftyp
+    shortBoxes.putInt(12); shortBoxes.put("mvhd".getBytes)
+    shortBoxes.putInt(0) // version 0 but body truncated by its own size
+    shortBoxes.putInt(16); shortBoxes.put("free".getBytes)
+    shortBoxes.putInt(90000); shortBoxes.putInt(180000) // plausible decoys
+    val sb = MultimodalOps.decodeMp4Meta(shortBoxes.array()).get
+    assert(sb.brand == "" && sb.timescale == 0L,
+      s"short boxes must not read sibling bytes as fields: $sb")
+
     // WAV fmt chunk claiming a sample rate above Int.MaxValue is rejected
     // as malformed, not wrapped into a negative sampleRateHz
     val evilRate = {
