@@ -131,7 +131,11 @@ object SparkEntry {
     "q40_sessions" -> ((s, d) => T.sessions(s, d)),
     // empirical band-collision stats per consecutive pair — the s^c
     // estimator the sweep's convergence criterion rides on
-    "q41_band_match" -> ((s, d) => M.bandMatchStats(s, d))
+    "q41_band_match" -> ((s, d) => M.bandMatchStats(s, d)),
+    // product-quantization codes — the compressed-vector representation
+    // ANN scans at 10^12 vectors (m bytes/vector); integer-exact per-
+    // subspace argmin against a broadcast codebook
+    "q42_pq_codes" -> ((s, d) => E.pqCodes(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -175,6 +179,7 @@ object SparkEntry {
     "q38_ngram_census" -> T.ngramDfCensusSql,
     "q39_keep_per_cluster" -> M.keepPerClusterSql,
     "q40_sessions" -> T.sessionsSql,
-    "q41_band_match" -> M.bandMatchStatsSql
+    "q41_band_match" -> M.bandMatchStatsSql,
+    "q42_pq_codes" -> E.pqCodesSql
   )
 }

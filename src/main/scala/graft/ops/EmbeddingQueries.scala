@@ -458,4 +458,91 @@ ranked AS (
 SELECT a_id AS vec_id, rn::BIGINT AS rnk, b_id AS neighbor_id
 FROM ranked WHERE rn <= 5 ORDER BY vec_id, rnk"""
   }
+
+  /** Product-quantization codes — the compressed-vector scale path next to
+    * IVF: the 64-dim quantized vector splits into `m` contiguous
+    * subspaces, each assigned to its nearest codeword by integer-exact
+    * squared L2 (strict <, min code wins, same tie discipline as
+    * [[ivfAssign]]). Codebook per subspace = the subvectors of the first
+    * `k` vectors (deterministic; a Lloyd refinement would slot in exactly
+    * like ivfAssign's). At 10^12 vectors the codes table is the object
+    * ANN search actually scans — m bytes per vector instead of 4*dims —
+    * and this map pass is embarrassingly parallel with an m*k*dims-size
+    * broadcast codebook.
+    *
+    * @return (vec_id, sub, code) — long format, one row per subspace
+    */
+  def pqCodes(spark: SparkSession, dir: String, m: Int = 4, k: Int = 4)
+      : DataFrame = {
+    import spark.implicits._
+    require(Ops.EmbeddingDims % m == 0, s"$m must divide ${Ops.EmbeddingDims}")
+    val sub = Ops.EmbeddingDims / m
+    val e = quantized(spark, dir)
+    // bounded driver collect: k codebook rows (the ivfAssign fence)
+    val seeds: Array[Array[Long]] = e.orderBy("vec_id").limit(k)
+      .select("q").as[Array[Long]].collect()
+    // codebook(mIdx)(code) = codeword subvector
+    val book: Array[Array[Array[Long]]] = Array.tabulate(m)(mi =>
+      seeds.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)))
+    val bc = spark.sparkContext.broadcast(book)
+    val codesUdf = udf((q: Seq[Long]) => {
+      val b = bc.value
+      val out = new Array[Int](b.length)
+      var mi = 0
+      while (mi < b.length) {
+        val words = b(mi)
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < words.length) {
+          val w = words(c)
+          var d = 0L
+          var j = 0
+          while (j < w.length) {
+            val t = q(mi * w.length + j) - w(j)
+            d += t * t
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(mi) = best
+        mi += 1
+      }
+      out
+    })
+    e.select(col("vec_id"), posexplode(codesUdf(col("q"))).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"))
+      .orderBy("vec_id", "sub")
+  }
+
+  /** The same subspace argmin in SQL: |q_m|^2 + |c_m|^2 - 2<q_m, c_m> per
+    * (vector, subspace, codeword), min (d, code) wins.
+    */
+  val pqCodesSql: String = s"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qe
+  FROM embeddings
+),
+seeds AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code, qe AS c
+  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 4)
+),
+subs AS (SELECT unnest(range(0, 4))::BIGINT AS sub),
+d AS (
+  SELECT q.vec_id, subs.sub, seeds.code,
+    list_dot_product(list_slice(q.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
+                     list_slice(q.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT
+    + list_dot_product(list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
+                       list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT
+    - 2 * list_dot_product(list_slice(q.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
+                           list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT AS dist
+  FROM q CROSS JOIN subs CROSS JOIN seeds
+)
+SELECT vec_id, sub, code FROM (
+  SELECT vec_id, sub, code,
+    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+  FROM d) WHERE rn = 1
+ORDER BY vec_id, sub"""
 }
