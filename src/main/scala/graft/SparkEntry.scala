@@ -135,7 +135,11 @@ object SparkEntry {
     // product-quantization codes — the compressed-vector representation
     // ANN scans at 10^12 vectors (m bytes/vector); integer-exact per-
     // subspace argmin against a broadcast codebook
-    "q42_pq_codes" -> ((s, d) => E.pqCodes(s, d))
+    "q42_pq_codes" -> ((s, d) => E.pqCodes(s, d)),
+    // ADC top-k: nearest neighbors of vector 0 scanned entirely over the
+    // PQ codes with a broadcast m*k lookup table — never touches a float
+    // vector
+    "q43_pq_adc_topk" -> ((s, d) => E.pqAdcTopK(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -180,6 +184,7 @@ object SparkEntry {
     "q39_keep_per_cluster" -> M.keepPerClusterSql,
     "q40_sessions" -> T.sessionsSql,
     "q41_band_match" -> M.bandMatchStatsSql,
-    "q42_pq_codes" -> E.pqCodesSql
+    "q42_pq_codes" -> E.pqCodesSql,
+    "q43_pq_adc_topk" -> E.pqAdcTopKSql
   )
 }

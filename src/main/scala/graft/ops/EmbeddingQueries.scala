@@ -517,11 +517,12 @@ FROM ranked WHERE rn <= 5 ORDER BY vec_id, rnk"""
       .orderBy("vec_id", "sub")
   }
 
-  /** The same subspace argmin in SQL: |q_m|^2 + |c_m|^2 - 2<q_m, c_m> per
-    * (vector, subspace, codeword), min (d, code) wins.
+  /** Shared PQ CTE chain: quantize, seed the codebook, per-(vector,
+    * subspace, codeword) distances via |q_m|^2 + |c_m|^2 - 2<q_m, c_m>
+    * over list_slice subvectors, argmin codes (min (dist, code) wins).
     */
-  val pqCodesSql: String = s"""
-WITH q AS (
+  val pqCtes: String = s"""
+q AS (
   SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qe
   FROM embeddings
 ),
@@ -539,10 +540,76 @@ d AS (
     - 2 * list_dot_product(list_slice(q.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
                            list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT AS dist
   FROM q CROSS JOIN subs CROSS JOIN seeds
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM d) WHERE rn = 1
+)"""
+
+  val pqCodesSql: String =
+    s"WITH $pqCtes SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub"
+
+  /** ADC top-k: approximate nearest neighbors of a query vector scanned
+    * entirely over the PQ codes — the lookup-table trick (Jegou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * per-(subspace, codeword) distance table to the query is m*k integers
+    * computed ONCE and broadcast, so the scan never touches a float
+    * vector — a codes-table map + tiny-dim join + TakeOrdered top-k, the
+    * shape that survives 10^12 vectors.
+    *
+    * @return the `topK` (vec_id, adc) rows nearest to `queryVecId` by
+    *         summed subspace distances (excluding the query itself),
+    *         deterministic (adc, vec_id) order
+    */
+  def pqAdcTopK(spark: SparkSession, dir: String, m: Int = 4, k: Int = 4,
+      topK: Int = 5, queryVecId: Long = 0L): DataFrame = {
+    import spark.implicits._
+    require(Ops.EmbeddingDims % m == 0)
+    val sub = Ops.EmbeddingDims / m
+    val e = quantized(spark, dir)
+    val seeds: Array[Array[Long]] = e.orderBy("vec_id").limit(k)
+      .select("q").as[Array[Long]].collect()
+    val query: Array[Long] = e.where(col("vec_id") === queryVecId)
+      .select("q").as[Array[Long]].head()
+    // the ADC lookup table: m*k integers, computed on the driver
+    val lut = (0 until m).flatMap { mi =>
+      seeds.zipWithIndex.map { case (v, code) =>
+        var d = 0L
+        var j = 0
+        while (j < sub) {
+          val t = query(mi * sub + j) - v(mi * sub + j)
+          d += t * t
+          j += 1
+        }
+        (mi.toLong, code.toLong, d)
+      }
+    }.toDF("sub", "code", "d")
+    pqCodes(spark, dir, m, k)
+      .where(col("vec_id") =!= queryVecId)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("vec_id").agg(sum(col("d")).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(topK)
+  }
+
+  val pqAdcTopKSql: String = s"""
+WITH $pqCtes,
+query AS (SELECT qe FROM q WHERE vec_id = 0),
+lut AS (
+  SELECT subs.sub, seeds.code,
+    list_dot_product(list_slice(query.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
+                     list_slice(query.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT
+    + list_dot_product(list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
+                       list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT
+    - 2 * list_dot_product(list_slice(query.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
+                           list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT AS d
+  FROM subs CROSS JOIN seeds CROSS JOIN query
 )
-SELECT vec_id, sub, code FROM (
-  SELECT vec_id, sub, code,
-    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
-  FROM d) WHERE rn = 1
-ORDER BY vec_id, sub"""
+SELECT c.vec_id, sum(l.d)::BIGINT AS adc
+FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+WHERE c.vec_id <> 0
+GROUP BY c.vec_id
+ORDER BY adc, vec_id LIMIT 5"""
 }
