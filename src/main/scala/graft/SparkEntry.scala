@@ -139,7 +139,11 @@ object SparkEntry {
     // ADC top-k: nearest neighbors of vector 0 scanned entirely over the
     // PQ codes with a broadcast m*k lookup table — never touches a float
     // vector
-    "q43_pq_adc_topk" -> ((s, d) => E.pqAdcTopK(s, d))
+    "q43_pq_adc_topk" -> ((s, d) => E.pqAdcTopK(s, d)),
+    // pretraining chunk spans: where each doc lands in the concatenated
+    // fixed-size-chunk token stream — distributed two-pass prefix sum
+    // (range partition + per-partition offsets), never a global window
+    "q44_chunk_spans" -> ((s, d) => T.chunkSpans(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -185,6 +189,7 @@ object SparkEntry {
     "q40_sessions" -> T.sessionsSql,
     "q41_band_match" -> M.bandMatchStatsSql,
     "q42_pq_codes" -> E.pqCodesSql,
-    "q43_pq_adc_topk" -> E.pqAdcTopKSql
+    "q43_pq_adc_topk" -> E.pqAdcTopKSql,
+    "q44_chunk_spans" -> T.chunkSpansSql
   )
 }

@@ -657,6 +657,70 @@ SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
 FROM w x JOIN w y ON x.w = y.w AND x.doc_id < y.doc_id
 GROUP BY 1, 2 ORDER BY id_a, id_b"""
 
+  /** Pretraining chunk spans — the LLM packing step: documents are
+    * concatenated in doc_id order into one token stream and split into
+    * fixed-size training chunks; each doc reports the chunk range it lands
+    * in. The prefix sum is computed the way it must be at 10^12 rows — a
+    * DISTRIBUTED two-pass scan (range-partition by doc_id, per-partition
+    * token totals -> driver-side offset scan bounded by the partition
+    * count, then one partition-local running-sum pass), NOT a
+    * single-partition global window. This is one of the few operators
+    * where per-partition imperative code is genuinely required (a total
+    * order with carried state), hence the RDD pass.
+    *
+    * @return (doc_id, n_tokens, start_chunk, end_chunk)
+    */
+  def chunkSpans(spark: SparkSession, dir: String,
+      chunkTokens: Long = 256L): DataFrame = {
+    import spark.implicits._
+    val toks = Ops.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+    val rdd = toks.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition totals; the offset scan is bounded by the
+    // partition count, never by the row count
+    val partTotals = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._2).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val c = chunkTokens
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      it.map { case (id, n) =>
+        val start = cum
+        cum += n
+        (id, n, start / c, (cum - 1) / c)
+      }
+    }.toDF("doc_id", "n_tokens", "start_chunk", "end_chunk")
+      .orderBy("doc_id")
+      // eager, so the cached rdd can be released before returning (the
+      // ivfAssign pattern); also pins the spans against any recompute of
+      // the sampled range partitioning
+      .localCheckpoint(true)
+    rdd.unpersist()
+    out
+  }
+
+  val chunkSpansSql: String = """
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+    coalesce(sum(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT doc_id, n AS n_tokens, prev // 256 AS start_chunk,
+  (prev + n - 1) // 256 AS end_chunk
+FROM c ORDER BY doc_id"""
+
   /** Benchmark decontamination — the training-data staple the substring
     * machinery exists for: flag corpus documents sharing any length-L
     * character window with a benchmark/eval set, so test data can be
