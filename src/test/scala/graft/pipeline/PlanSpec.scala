@@ -140,6 +140,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"window strings must never be shuffle keys: $keys")
   }
 
+  test("PQ ADC plan: lookup table broadcasts, no cartesian product") {
+    val plan = graft.ops.EmbeddingQueries
+      .pqAdcTopK(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"the m*k LUT must broadcast-join the codes scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"ADC must never plan a cartesian:\n$plan")
+  }
+
   test("evaluator size joins: broadcast when small, shuffled when forced big") {
     import spark.implicits._
     val x = (1L to 100L).map(i => (i, i % 7)).toDF("member", "label")
