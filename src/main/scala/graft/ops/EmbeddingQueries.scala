@@ -474,19 +474,49 @@ FROM ranked WHERE rn <= 5 ORDER BY vec_id, rnk"""
     */
   def pqCodes(spark: SparkSession, dir: String, m: Int = 4, k: Int = 4)
       : DataFrame = {
+    val (e, seeds) = pqSetup(spark, dir, m, k)
+    pqCodesOf(spark, e, seeds, m).orderBy("vec_id", "sub")
+  }
+
+  /** One driver collect shared by [[pqCodes]] and [[pqAdcTopK]]: the
+    * quantized frame plus the k codebook seed vectors (the ivfAssign
+    * bounded-collect fence).
+    */
+  private def pqSetup(spark: SparkSession, dir: String, m: Int, k: Int)
+      : (DataFrame, Array[Array[Long]]) = {
     import spark.implicits._
     require(Ops.EmbeddingDims % m == 0, s"$m must divide ${Ops.EmbeddingDims}")
-    val sub = Ops.EmbeddingDims / m
     val e = quantized(spark, dir)
-    // bounded driver collect: k codebook rows (the ivfAssign fence)
-    val seeds: Array[Array[Long]] = e.orderBy("vec_id").limit(k)
-      .select("q").as[Array[Long]].collect()
+    (e, e.orderBy("vec_id").limit(k).select("q").as[Array[Long]].collect())
+  }
+
+  /** Integer squared L2 between subspace `mi` of `q` and codeword `w`
+    * (length `sub`); entries missing from a short vector count as 0, the
+    * same zero-pad semantics Arrays.copyOfRange gives the seed side.
+    */
+  private def subSqDist(q: IndexedSeq[Long], mi: Int, w: Array[Long]): Long = {
+    var d = 0L
+    var j = 0
+    while (j < w.length) {
+      val idx = mi * w.length + j
+      val t = (if (idx < q.length) q(idx) else 0L) - w(j)
+      d += t * t
+      j += 1
+    }
+    d
+  }
+
+  /** (vec_id, sub, code) codes against a codebook seeded from `seeds`. */
+  private def pqCodesOf(spark: SparkSession, e: DataFrame,
+      seeds: Array[Array[Long]], m: Int): DataFrame = {
+    val sub = Ops.EmbeddingDims / m
     // codebook(mIdx)(code) = codeword subvector
     val book: Array[Array[Array[Long]]] = Array.tabulate(m)(mi =>
       seeds.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)))
     val bc = spark.sparkContext.broadcast(book)
     val codesUdf = udf((q: Seq[Long]) => {
       val b = bc.value
+      val qi = q.toIndexedSeq
       val out = new Array[Int](b.length)
       var mi = 0
       while (mi < b.length) {
@@ -495,14 +525,7 @@ FROM ranked WHERE rn <= 5 ORDER BY vec_id, rnk"""
         var bestD = Long.MaxValue
         var c = 0
         while (c < words.length) {
-          val w = words(c)
-          var d = 0L
-          var j = 0
-          while (j < w.length) {
-            val t = q(mi * w.length + j) - w(j)
-            d += t * t
-            j += 1
-          }
+          val d = subSqDist(qi, mi, words(c))
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
@@ -514,13 +537,20 @@ FROM ranked WHERE rn <= 5 ORDER BY vec_id, rnk"""
     e.select(col("vec_id"), posexplode(codesUdf(col("q"))).as(Seq("sub", "code")))
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
         col("code").cast("long").as("code"))
-      .orderBy("vec_id", "sub")
   }
 
   /** Shared PQ CTE chain: quantize, seed the codebook, per-(vector,
     * subspace, codeword) distances via |q_m|^2 + |c_m|^2 - 2<q_m, c_m>
     * over list_slice subvectors, argmin codes (min (dist, code) wins).
     */
+  // one definition site for the oracle's m/k/subwidth so the SQL cannot
+  // drift from the Scala side's derived sub = EmbeddingDims / m
+  private val PqM = 4
+  private val PqK = 4
+  private val PqSub = Ops.EmbeddingDims / PqM
+  private def sl(v: String): String =
+    s"list_slice($v, subs.sub::INT * $PqSub + 1, (subs.sub::INT + 1) * $PqSub)"
+
   val pqCtes: String = s"""
 q AS (
   SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qe
@@ -528,17 +558,14 @@ q AS (
 ),
 seeds AS (
   SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code, qe AS c
-  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 4)
+  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT $PqK)
 ),
-subs AS (SELECT unnest(range(0, 4))::BIGINT AS sub),
+subs AS (SELECT unnest(range(0, $PqM))::BIGINT AS sub),
 d AS (
   SELECT q.vec_id, subs.sub, seeds.code,
-    list_dot_product(list_slice(q.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
-                     list_slice(q.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT
-    + list_dot_product(list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
-                       list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT
-    - 2 * list_dot_product(list_slice(q.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
-                           list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT AS dist
+    list_dot_product(${sl("q.qe")}, ${sl("q.qe")})::BIGINT
+    + list_dot_product(${sl("seeds.c")}, ${sl("seeds.c")})::BIGINT
+    - 2 * list_dot_product(${sl("q.qe")}, ${sl("seeds.c")})::BIGINT AS dist
   FROM q CROSS JOIN subs CROSS JOIN seeds
 ),
 codes AS (
@@ -566,27 +593,19 @@ codes AS (
   def pqAdcTopK(spark: SparkSession, dir: String, m: Int = 4, k: Int = 4,
       topK: Int = 5, queryVecId: Long = 0L): DataFrame = {
     import spark.implicits._
-    require(Ops.EmbeddingDims % m == 0)
+    val (e, seeds) = pqSetup(spark, dir, m, k) // ONE seed collect, shared
     val sub = Ops.EmbeddingDims / m
-    val e = quantized(spark, dir)
-    val seeds: Array[Array[Long]] = e.orderBy("vec_id").limit(k)
-      .select("q").as[Array[Long]].collect()
-    val query: Array[Long] = e.where(col("vec_id") === queryVecId)
-      .select("q").as[Array[Long]].head()
-    // the ADC lookup table: m*k integers, computed on the driver
+    val query: IndexedSeq[Long] = e.where(col("vec_id") === queryVecId)
+      .select("q").as[Array[Long]].head().toIndexedSeq
+    // the ADC lookup table: m*k integers, computed on the driver with the
+    // same subspace kernel that assigns codes
     val lut = (0 until m).flatMap { mi =>
       seeds.zipWithIndex.map { case (v, code) =>
-        var d = 0L
-        var j = 0
-        while (j < sub) {
-          val t = query(mi * sub + j) - v(mi * sub + j)
-          d += t * t
-          j += 1
-        }
-        (mi.toLong, code.toLong, d)
+        (mi.toLong, code.toLong, subSqDist(query, mi,
+          java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)))
       }
     }.toDF("sub", "code", "d")
-    pqCodes(spark, dir, m, k)
+    pqCodesOf(spark, e, seeds, m) // no oracle-ordering sort in this path
       .where(col("vec_id") =!= queryVecId)
       .join(broadcast(lut), Seq("sub", "code"))
       .groupBy("vec_id").agg(sum(col("d")).as("adc"))
@@ -599,12 +618,9 @@ WITH $pqCtes,
 query AS (SELECT qe FROM q WHERE vec_id = 0),
 lut AS (
   SELECT subs.sub, seeds.code,
-    list_dot_product(list_slice(query.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
-                     list_slice(query.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT
-    + list_dot_product(list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
-                       list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT
-    - 2 * list_dot_product(list_slice(query.qe, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16),
-                           list_slice(seeds.c, subs.sub::INT * 16 + 1, (subs.sub::INT + 1) * 16))::BIGINT AS d
+    list_dot_product(${sl("query.qe")}, ${sl("query.qe")})::BIGINT
+    + list_dot_product(${sl("seeds.c")}, ${sl("seeds.c")})::BIGINT
+    - 2 * list_dot_product(${sl("query.qe")}, ${sl("seeds.c")})::BIGINT AS d
   FROM subs CROSS JOIN seeds CROSS JOIN query
 )
 SELECT c.vec_id, sum(l.d)::BIGINT AS adc

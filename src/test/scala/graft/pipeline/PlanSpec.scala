@@ -144,10 +144,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val plan = graft.ops.EmbeddingQueries
       .pqAdcTopK(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Broadcast"),
-      s"the m*k LUT must broadcast-join the codes scan:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"ADC must never plan a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the m*k LUT must broadcast-HASH-join the codes scan (a degenerated " +
+        s"BroadcastNestedLoopJoin is exactly the regression to catch):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC must never plan a product join:\n$plan")
   }
 
   test("evaluator size joins: broadcast when small, shuffled when forced big") {
