@@ -408,6 +408,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     )
   }
 
+  test("chunk spans: distributed prefix sum == serial scan, any parallelism") {
+    // the two-pass prefix sum must be a pure function of the doc_id total
+    // order — invariant to how the range partitioner splits it
+    val rows = TextQueries.chunkSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // serial oracle over the same token counts
+    val toks = TextQueries.tokenCount(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val want = toks.map { case (id, n) =>
+      val s = cum; cum = cum + n; (id, n, s / 256, (cum - 1) / 256)
+    }
+    assert(rows.sortBy(_._1).toSeq == want.toSeq)
+    // spans tile the stream: consecutive docs' chunk ranges never skip
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(b._3 - a._4 <= 1 && b._3 >= a._3)
+      case _ =>
+    }
+  }
+
   test("repetition stats: bigram counting edges (short docs, heavy repeats)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
