@@ -143,7 +143,10 @@ object SparkEntry {
     // pretraining chunk spans: where each doc lands in the concatenated
     // fixed-size-chunk token stream — distributed two-pass prefix sum
     // (range partition + per-partition offsets), never a global window
-    "q44_chunk_spans" -> ((s, d) => T.chunkSpans(s, d))
+    "q44_chunk_spans" -> ((s, d) => T.chunkSpans(s, d)),
+    // per-source dedup-rate rollup: docs / duplicates / distinct clusters
+    // contributed by each ingest source
+    "q45_source_stats" -> ((s, d) => M.sourceDedupStats(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,6 +193,7 @@ object SparkEntry {
     "q41_band_match" -> M.bandMatchStatsSql,
     "q42_pq_codes" -> E.pqCodesSql,
     "q43_pq_adc_topk" -> E.pqAdcTopKSql,
-    "q44_chunk_spans" -> T.chunkSpansSql
+    "q44_chunk_spans" -> T.chunkSpansSql,
+    "q45_source_stats" -> M.sourceDedupStatsSql
   )
 }

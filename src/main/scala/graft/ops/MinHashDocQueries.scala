@@ -337,6 +337,33 @@ object MinHashDocQueries {
       docs.where(col("id") >= split), docs.where(col("id") < split))
   }
 
+  /** Per-source dedup-rate rollup — the curation dashboard view over the
+    * clustering: for each ingest source, how many docs it contributed,
+    * how many are duplicates (not their cluster's canonical min-id
+    * member), and how many distinct clusters it touches. One aggregate
+    * over the cluster assignment joined back to the doc dimension —
+    * linear, partial-aggregating, no new shuffle shape at scale.
+    *
+    * @return (source, n_docs, n_dups, n_clusters)
+    */
+  def sourceDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = clusters(spark, dir)
+    val src = Ops.table(spark, dir, "documents").select("doc_id", "source")
+    c.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("doc_id") =!= col("cluster_id"), 1)).as("n_dups"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy("source")
+  }
+
+  lazy val sourceDedupStatsSql: String = s"""WITH RECURSIVE $clustersCtes
+SELECT d.source, count(*) AS n_docs,
+  count(*) FILTER (WHERE c.doc_id <> c.cluster_id) AS n_dups,
+  count(DISTINCT c.cluster_id) AS n_clusters
+FROM clusters c JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source"""
+
   /** Band-collision statistics for consecutive doc pairs: of the bands
     * where BOTH docs carry a signature, how many collide ((m1, m2) equal)?
     * `n_matching / n_bands` is the empirical estimate of the Jaccard-driven
