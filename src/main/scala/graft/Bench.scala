@@ -19,14 +19,44 @@ import org.apache.spark.sql.SparkSession
   * for the two-parallelism scaling-efficiency evidence (BASELINE.md).
   */
 object Bench {
+  /** Tolerant env-int parse: a malformed knob ("3 ", "3x") degrades to the
+    * default instead of aborting the whole bench before any JSON is
+    * emitted (the SnapshotCatalog env-parse discipline).
+    */
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(default)
+
+  /** Same-process CPU-noise probe: a fixed single-thread xorshift loop
+    * timed at known points of the run, reported in the bench JSON so a
+    * slow host window is self-evident IN the artifact instead of
+    * reconstructed after the fact (this host's wall-clock swings up to
+    * ~1.8x between identical runs — BASELINE.md).
+    *
+    * @return measured rate in M iterations/sec (higher = faster window)
+    */
+  def noiseProbe(): Double = {
+    val iters = 400000000L
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    iters / sec / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // 500k default: large enough that fixed costs (JVM warm-up, stage
     // commits, corpus generation) stop dominating docs_per_sec — at 50k the
     // headline under-reported steady-state throughput ~10x (BASELINE.md)
-    val benchDocs = sys.env.getOrElse("BENCH_DOCS", "500000").toInt
-    val benchHashes = sys.env.getOrElse("BENCH_HASHES", "16").toInt
+    val benchDocs = envInt("BENCH_DOCS", 500000)
+    val benchHashes = envInt("BENCH_HASHES", 16)
     val runQueries = sys.env.getOrElse("BENCH_QUERIES", "true").toBoolean
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,9 +94,9 @@ object Bench {
     // ~1.8x between identical runs (BASELINE.md), so a single sample can
     // read as a phantom regression (BENCH_r03's 500k block measured 14.6k
     // docs/s where a same-code clean run gave 21.6k)
-    val reps = math.max(1, sys.env.getOrElse("BENCH_PIPELINE_REPS", "3").toInt)
+    val reps = math.max(1, envInt("BENCH_PIPELINE_REPS", 3))
     final case class PipeStat(docs: Long, inputDocs: Long, median: Double,
-        min: Double, max: Double, reps: Int)
+        walls: Seq[Double])
     def runPipelineMedian(nDocs: Int, hashes: Int): PipeStat = {
       val runs = (1 to reps).map(_ => runPipeline(nDocs, hashes))
       require(runs.map(r => (r._1, r._2)).distinct.size == 1,
@@ -75,16 +105,20 @@ object Bench {
       val med =
         if (secs.length % 2 == 1) secs(secs.length / 2)
         else (secs(secs.length / 2 - 1) + secs(secs.length / 2)) / 2.0
-      PipeStat(runs.head._1, runs.head._2, med, secs.head, secs.last, reps)
+      PipeStat(runs.head._1, runs.head._2, med, runs.map(_._3))
     }
+    // probe the host window before / between / after the pipeline blocks
+    val probes = scala.collection.mutable.ArrayBuffer(noiseProbe())
     val pipeStat = runPipelineMedian(benchDocs, benchHashes)
+    probes += noiseProbe()
     // BASELINE.md operating point (4M docs, 41 hashes, tau 0.5, stages on)
     // so the per-round bench artifact is row-for-row comparable with the
     // hand-measured scaling pairs; BENCH_HEADLINE_DOCS=0 skips it
-    val headlineDocs = sys.env.getOrElse("BENCH_HEADLINE_DOCS", "4000000").toInt
+    val headlineDocs = envInt("BENCH_HEADLINE_DOCS", 4000000)
     val headline =
       if (headlineDocs <= 0) None
       else Some(runPipelineMedian(headlineDocs, 41))
+    probes += noiseProbe()
 
     val toRun = if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1)
       else Seq.empty
@@ -113,18 +147,22 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum + pipeStat.median +
       headline.map(_.median).getOrElse(0.0)
     // "seconds"/"docs_per_sec" carry the MEDIAN rep (comparable row-for-row
-    // with earlier rounds' single-sample blocks); min/max show the spread
+    // with earlier rounds' single-sample blocks); "reps_sec" carries every
+    // per-rep wall so the spread is in the artifact itself
     def pipeJson(t: PipeStat): String =
       f"""{"docs":${t.docs},"input_docs":${t.inputDocs},""" +
         f""""seconds":${t.median}%.3f,"docs_per_sec":${t.docs / t.median}%.1f,""" +
-        f""""seconds_min":${t.min}%.3f,"seconds_max":${t.max}%.3f,""" +
-        s""""reps":${t.reps}}"""
+        f""""seconds_min":${t.walls.min}%.3f,"seconds_max":${t.walls.max}%.3f,""" +
+        s""""reps":${t.walls.length},""" +
+        t.walls.map(w => f"$w%.3f").mkString(""""reps_sec":[""", ",", "]}")
     val pipe = pipeJson(pipeStat)
     val head = headline.map(h => s""""pipeline_4m":${pipeJson(h)},""")
       .getOrElse("")
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val probeJson = probes.map(p => f"$p%.1f").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       s""""queries":$qs,"pipeline":$pipe,$head"failed":$failed,""" +
+      s""""noise_probe_mops":$probeJson,""" +
       s""""cores":$cpus,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

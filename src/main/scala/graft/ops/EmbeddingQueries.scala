@@ -472,7 +472,7 @@ FROM ranked WHERE rn <= 5 ORDER BY vec_id, rnk"""
     *
     * @return (vec_id, sub, code) — long format, one row per subspace
     */
-  def pqCodes(spark: SparkSession, dir: String, m: Int = 4, k: Int = 4)
+  def pqCodes(spark: SparkSession, dir: String, m: Int = PqM, k: Int = PqK)
       : DataFrame = {
     val (e, seeds) = pqSetup(spark, dir, m, k)
     pqCodesOf(spark, e, seeds, m).orderBy("vec_id", "sub")
@@ -590,7 +590,7 @@ codes AS (
     *         summed subspace distances (excluding the query itself),
     *         deterministic (adc, vec_id) order
     */
-  def pqAdcTopK(spark: SparkSession, dir: String, m: Int = 4, k: Int = 4,
+  def pqAdcTopK(spark: SparkSession, dir: String, m: Int = PqM, k: Int = PqK,
       topK: Int = 5, queryVecId: Long = 0L): DataFrame = {
     import spark.implicits._
     val (e, seeds) = pqSetup(spark, dir, m, k) // ONE seed collect, shared

@@ -280,13 +280,15 @@ object MinHashDocQueries {
   }
 
   /** (doc_id, canonical_id) — exact dedup by full text equality (min id per
-    * identical-text group), the A3-distinct shape.
+    * identical-text group), the A3-distinct shape. All exchanges key on
+    * xxhash64(text) with a fail-loud equality verify
+    * ([[Ops.canonicalByText]]) — the string-keyed form only ever ran in the
+    * DuckDB oracle.
     */
-  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Ops.table(spark, dir, "documents").select("doc_id", "text")
-    val canon = d.groupBy("text").agg(min(col("doc_id")).as("canonical_id"))
-    d.join(canon, "text").select("doc_id", "canonical_id").orderBy("doc_id")
-  }
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Ops.canonicalByText(Ops.table(spark, dir, "documents")
+        .select("doc_id", "text"))
+      .select("doc_id", "canonical_id").orderBy("doc_id")
 
   /** Batch-vs-corpus incremental dedup (the daily-ingest shape at 100 TB:
     * a new crawl batch deduped against the standing index WITHOUT
@@ -326,11 +328,17 @@ object MinHashDocQueries {
       .orderBy("doc_id")
   }
 
+  /** One definition site for the gate's corpus/batch id split, interpolated
+    * into [[corpusDedupSql]] so the oracle cannot drift from the Scala
+    * default.
+    */
+  val CorpusSplit = 250L
+
   /** [[dedupAgainstCorpus]] as a gate query: documents with id < `split`
     * are the standing corpus, the rest are the incoming batch.
     */
   def corpusDedupFlags(spark: SparkSession, dir: String,
-      split: Long = 250L): DataFrame = {
+      split: Long = CorpusSplit): DataFrame = {
     val docs = normalizedDocs(spark, dir)
       .select(col("doc_id").as("id"), col("t"))
     dedupAgainstCorpus(spark,
@@ -535,7 +543,7 @@ shingle_sets AS (SELECT DISTINCT doc_id, kv FROM kmers),
 set_sizes AS (SELECT doc_id, count(*) AS n FROM shingle_sets GROUP BY doc_id),
 cross_pairs AS (
   SELECT id_a AS dup_of, id_b AS doc_id FROM lsh_pairs
-  WHERE id_a < 250 AND id_b >= 250
+  WHERE id_a < $CorpusSplit AND id_b >= $CorpusSplit
 ),
 inter AS (
   SELECT p.doc_id, p.dup_of, count(*) AS inter_size

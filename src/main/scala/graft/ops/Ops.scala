@@ -3,6 +3,7 @@ package graft.ops
 import graft.core.HashRandoms
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Shared helpers for the driver-gate queries over the generic testdata
   * tables (`documents`, `embeddings`, `events`). Every query here has two
@@ -63,4 +64,34 @@ object Ops {
 
   val LshPlanes = 16
   val EmbeddingDims = 64
+
+  /** Exact-duplicate canonicalization with 8-byte exchange keys: group on
+    * xxhash64(text) — never on the text string itself; full document
+    * bodies as shuffle/sort keys is the scale anti-pattern the q29 family
+    * exists to avoid, and the streaming twin
+    * ([[graft.streaming.StreamingDedup.exactDedup]]) already keys on the
+    * hash. Min doc_id per hash group is the canonical; the group's
+    * representative text rides the aggregation buffers as PAYLOAD (values,
+    * not keys) and is verified equal on the join-back, so a 64-bit
+    * collision (p ≈ n²/2^65) raises instead of silently mislabeling — the
+    * same fail-loud discipline as the pipeline's doc-id encode
+    * ([[graft.pipeline.DedupPipeline.extractDocs]]).
+    *
+    * @param d any (doc_id, text, ...) frame
+    * @return the input columns plus `canonical_id`
+    */
+  def canonicalByText(d: DataFrame): DataFrame = {
+    val withH = d.withColumn("h", xxhash64(col("text")))
+    val canon = withH.groupBy("h").agg(
+      min(col("doc_id")).as("canonical_id"),
+      // a collision-free hash group holds exactly one distinct text, so
+      // min(text) IS the group's text
+      min(col("text")).as("ctext"))
+    withH.join(canon, "h")
+      .withColumn("canonical_id",
+        when(col("text") <=> col("ctext"), col("canonical_id"))
+          .otherwise(raise_error(lit(
+            "xxhash64(text) collision detected — re-salt canonicalByText"))))
+      .drop("h", "ctext")
+  }
 }

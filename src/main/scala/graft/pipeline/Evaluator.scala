@@ -42,8 +42,24 @@ object Evaluator {
     (scored, sx, sy)
   }
 
-  def fscore(spark: SparkSession, x: DataFrame, y: DataFrame): Scores = {
-    val (scored, sx, sy) = contingency(x, y)
+  /** Reference parity for the evaluator's read-side cap
+    * (`fvalue_evaluator.cpp:771-800`: `largest_clusters_count > 0` keeps
+    * only the N largest clusters of a side before scoring): restrict a
+    * side's assignments to members of its `k` largest clusters, size
+    * descending with label-ascending tie-break (the reference's selection
+    * is by size; the tie-break here makes the Spark result deterministic).
+    * The k-row top set joins back as a runtime broadcast (AQE).
+    */
+  private def keepLargest(a: DataFrame, k: Int): DataFrame = {
+    val top = a.groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("label")).limit(k).select("label")
+    a.join(top, "label").select("member", "label")
+  }
+
+  def fscore(spark: SparkSession, x: DataFrame, y: DataFrame,
+      topKx: Option[Int] = None, topKy: Option[Int] = None): Scores = {
+    val (scored, sx, sy) = contingency(
+      topKx.fold(x)(keepLargest(x, _)), topKy.fold(y)(keepLargest(y, _)))
 
     def side(groupCol: String, sizes: DataFrame, sizeCol: String): Double = {
       val best = scored.groupBy(groupCol).agg(max(col("f1")).as("best"))

@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object HashSweep {
 
-  final case class SweepStep(numHashes: Int, fscore: Double, clusters: Long)
+  /** `legs` carries per-leg wall seconds for the step in execution order
+    * (profiling surface for SweepBench / BASELINE.md). Dot-prefixed names
+    * are SUB-legs timed inside the preceding top-level leg (they overlap
+    * it; don't sum dotted and undotted together).
+    */
+  final case class SweepStep(numHashes: Int, fscore: Double, clusters: Long,
+      legs: Seq[(String, Double)] = Seq.empty)
   final case class SweepResult(steps: Seq[SweepStep], converged: Boolean,
       assignments: DataFrame)
 
@@ -132,6 +138,17 @@ object HashSweep {
       Map("test" -> new VertexSketchCache(spark, cat, "test", baseParams),
           "base" -> new VertexSketchCache(spark, cat, "base", baseParams)))
 
+    // per-step leg walls (SweepStep.legs): each timed region ends at a
+    // driver-side action boundary that already exists in the flow, so the
+    // timers add no extra Spark jobs
+    val legBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def leg[T](name: String)(body: => T): T = {
+      val t = System.nanoTime()
+      val r = body
+      legBuf += name -> (System.nanoTime() - t) / 1e9
+      r
+    }
+
     def clusterWith(numBands: Int, trajectory: String): DataFrame = {
       val bands = spark.read.parquet(bandDir).where(col("band") < numBands)
       val (kmerPairs, _) = DedupPipeline.candidatePairs(spark, bands,
@@ -142,16 +159,21 @@ object HashSweep {
         case Some(cs) =>
           // kmer pairs feed the cache delta AND the final union — checkpoint
           // once so the LSH join runs once per step
-          val kp = kmerPairs.localCheckpoint(true)
-          val vb = cs(trajectory).advance(kp, numBands)
+          val kp = leg(s".pairgen_kmer_$trajectory")(
+            kmerPairs.localCheckpoint(true))
+          val vb = leg(s".cache_advance_$trajectory")(
+            cs(trajectory).advance(kp, numBands))
           val (extra, _) = DedupPipeline.candidatePairs(spark, vb,
             Int.MaxValue, saltBlockSize = saltBlockSize,
             saltDetectFraction = saltDetectFraction)
           kp.union(extra).distinct()
       }
-      ConnectedComponents.run(spark, pairs, docs.select("id"),
-          driverFinishMaxEdges = ccDriverFinishMaxEdges)
-        .select(col("id").as("member"), col("component").as("label"))
+      // CC runs its iteration jobs eagerly, so this sub-leg also absorbs
+      // the (lazy) vertex pair-gen + union feeding it
+      leg(s".cc_$trajectory")(
+        ConnectedComponents.run(spark, pairs, docs.select("id"),
+            driverFinishMaxEdges = ccDriverFinishMaxEdges)
+          .select(col("id").as("member"), col("component").as("label")))
     }
 
     val steps = scala.collection.mutable.ArrayBuffer.empty[SweepStep]
@@ -168,13 +190,17 @@ object HashSweep {
     var f = 0.0
     var last: DataFrame = null
     while (f < threshold && h <= maxHashes) {
-      appendBands(h)
-      val test = clusterWith(h, "test")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val base = clusterWith(h - delta, "base")
-      f = Evaluator.fscore(spark, test, base).avg
-      val n = test.select("label").distinct().count()
-      steps += SweepStep(h, f, n)
+      legBuf.clear()
+      leg("append_bands")(appendBands(h))
+      val test = leg("cluster_test")(clusterWith(h, "test")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // materializing test's label count here (it is needed for the step
+      // record anyway) separates test materialization from the evaluator leg
+      val n = leg("cluster_test_materialize")(
+        test.select("label").distinct().count())
+      val base = leg("cluster_base")(clusterWith(h - delta, "base"))
+      f = leg("evaluator_fscore")(Evaluator.fscore(spark, test, base).avg)
+      steps += SweepStep(h, f, n, legBuf.toSeq)
       if (last != null) last.unpersist()
       last = test
       h += 1

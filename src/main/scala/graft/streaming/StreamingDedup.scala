@@ -139,7 +139,12 @@ object StreamingDedup {
             // state restored from a checkpoint written by the former
             // Set[Long] encoding deserializes as the SAME array<bigint>
             // shape but in arbitrary set order — re-establish the sorted
-            // invariant instead of silently mis-binary-searching
+            // invariant instead of silently mis-binary-searching.
+            // (Same-encoder restarts are covered by the checkpoint-restart
+            // spec; a checkpoint whose state schema the store REJECTS —
+            // e.g. a containsNull mismatch from the old encoder — fails
+            // validation at restart: resume those with a fresh checkpoint
+            // dir, there is no in-place migration.)
             if (!isSorted(members)) {
               members = members.clone()
               java.util.Arrays.sort(members)

@@ -50,8 +50,13 @@ object SweepBench {
       baseParams = MinHashParams(numHashes = 1),
       shinglingIterations = shingIters)
     val sec = (System.nanoTime() - t0) / 1e9
-    res.steps.foreach(s =>
-      println(f"step h=${s.numHashes} fscore=${s.fscore}%.4f clusters=${s.clusters}"))
+    res.steps.foreach { s =>
+      println(f"step h=${s.numHashes} fscore=${s.fscore}%.4f clusters=${s.clusters}")
+      // per-leg walls (dot-prefixed = sub-leg inside the preceding leg)
+      s.legs.foreach { case (name, secs) =>
+        println(f"  leg $name%-28s ${secs}%8.2f s")
+      }
+    }
     val perStep = sec / res.steps.length
     println(f"sweep docs=$n steps=${res.steps.length} " +
       f"shingling_iterations=$shingIters seconds=$sec%.1f " +

@@ -410,22 +410,59 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
 
   test("chunk spans: distributed prefix sum == serial scan, any parallelism") {
     // the two-pass prefix sum must be a pure function of the doc_id total
-    // order — invariant to how the range partitioner splits it
-    val rows = TextQueries.chunkSpans(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // order — invariant to bucket count, caching, and recomputation
+    def run(numBuckets: Int = 0): Seq[(Long, Long, Long, Long)] =
+      TextQueries.chunkSpans(spark, sf, numBuckets = numBuckets).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val rows = run()
     // serial oracle over the same token counts
     val toks = TextQueries.tokenCount(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var cum = 0L
     val want = toks.map { case (id, n) =>
       val s = cum; cum = cum + n; (id, n, s / 256, (cum - 1) / 256)
-    }
-    assert(rows.sortBy(_._1).toSeq == want.toSeq)
+    }.toSeq
+    assert(rows == want)
     // spans tile the stream: consecutive docs' chunk ranges never skip
-    rows.sortBy(_._1).sliding(2).foreach {
-      case Array(a, b) => assert(b._3 - a._4 <= 1 && b._3 >= a._3)
+    rows.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 - a._4 <= 1 && b._3 >= a._3)
       case _ =>
     }
+    // determinism stress (CORRECTNESS_r04 q44 postmortem: the round-4 form
+    // depended on sampled range-partition boundaries carried between two
+    // actions, and the driver gate caught a run-sensitive divergence the
+    // builder's own runs never hit): the value-bucketed rewrite must be
+    // byte-identical at degenerate, prime, and default bucket counts...
+    for (b <- Seq(1, 3, 7, 64)) assert(run(b) == want, s"numBuckets=$b")
+    // ...and across repeated evaluations with the block-manager cache
+    // dropped between runs (recompute-under-pressure cannot shift offsets)
+    (1 to 3).foreach { i =>
+      spark.sharedState.cacheManager.clearCache()
+      assert(run() == want, s"repeat $i diverged")
+    }
+  }
+
+  test("ngram census: hashed scale form == string-keyed twin; exact dedup " +
+      "hash-keyed == min-id semantics") {
+    // the gate runs the xxhash64(gram)-keyed aggregate (8-byte exchange
+    // keys); value equality with the string-keyed form is the collision-
+    // free guarantee the q29 family also rides on
+    def census(keyOnHash: Boolean) =
+      TextQueries.ngramDfCensus(spark, sf, keyOnHash = keyOnHash)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(census(keyOnHash = true) == census(keyOnHash = false))
+
+    // canonicalByText: hash-keyed exact dedup picks the min id per
+    // identical-text group, byte-exact (collision verify raises, never
+    // mislabels)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-exact").toString
+    Seq((5L, "same text"), (2L, "same text"), (9L, "other"), (7L, "SAME TEXT"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.ops.MinHashDocQueries.exactDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 5L -> 2L, 7L -> 7L, 9L -> 9L))
   }
 
   test("repetition stats: bigram counting edges (short docs, heavy repeats)") {

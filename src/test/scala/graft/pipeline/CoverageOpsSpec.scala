@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
-import graft.core.{NMI, UnionFind}
+import graft.core.{FScore, NMI, UnionFind}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -111,5 +111,62 @@ class CoverageOpsSpec extends AnyFunSuite with SparkSpec {
     val edges = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(f + "_edges")), "UTF-8")
     assert(edges == "1 2\n1 3\n2 1\n3 1\n", s"got:\n$edges")
+  }
+
+  test("community return bridge: export → external tool file → evaluator") {
+    // the reference's nocc→Louvain loop: METIS out, community file BACK
+    // (`graph_formater.cpp:118-158`) — round-trip through our export
+    val dir = java.nio.file.Files.createTempDirectory("graft-comm")
+    val f = dir.resolve("g.metis").toString
+    MetisExport.write(spark,
+      Seq((10L, 20L), (30L, 10L)).toDF("a", "b"),
+      Seq(10L, 20L, 30L, 40L).toDF("id"), f)
+    // a Louvain-style tool writes one community id per dictionary line:
+    // vertices #1,#2 → community 0, #3 → 1, #4 → 2
+    java.nio.file.Files.write(dir.resolve("g.communities"),
+      "0\n0\n1\n2\n".getBytes("UTF-8"))
+    val assigned = CommunityImport.readChecked(spark,
+      dir.resolve("g.communities").toString, f + "_dictionary")
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 0L, 20L -> 0L, 30L -> 1L, 40L -> 2L))
+    // loop closed: the imported assignments ARE an evaluator side — the
+    // same partition under different labels scores exactly 1.0
+    val truth = Seq((10L, 7L), (20L, 7L), (30L, 8L), (40L, 9L))
+      .toDF("member", "label")
+    val s = Evaluator.fscore(spark, assigned, truth)
+    assert(math.abs(s.avg - 1.0) < 1e-12)
+    // a truncated community file (tool crashed mid-write) fails loudly
+    java.nio.file.Files.write(dir.resolve("bad.communities"),
+      "0\n0\n1\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      CommunityImport.readChecked(spark,
+        dir.resolve("bad.communities").toString, f + "_dictionary")
+    }
+  }
+
+  test("evaluator top-k cap == serial oracle capped (`fvalue_evaluator.cpp:771-800`)") {
+    val rng = new scala.util.Random(91)
+    val x = (1L to 120L).map(i => i -> (i % 9)).toMap
+    val y = (1L to 120L).map(i => i -> (rng.nextInt(5).toLong + 100L)).toMap
+    def df(m: Map[Long, Long]) = m.toSeq.toDF("member", "label")
+    // the reference keeps only the N largest clusters of the read side;
+    // tie-break by ascending label mirrors Evaluator.keepLargest
+    def cap(m: Map[Long, Long], k: Int): Map[Long, Long] = {
+      val top = m.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.take(k).map(_._1).toSet
+      m.filter { case (_, l) => top(l) }
+    }
+    for (k <- Seq(1, 3, 9)) {
+      val want = FScore.score(cap(x, k), y)._3
+      val got = Evaluator.fscore(spark, df(x), df(y), topKx = Some(k)).avg
+      assert(math.abs(got - want) < 1e-12, s"k=$k: $got vs $want")
+      val want2 = FScore.score(cap(x, k), cap(y, 2))._3
+      val got2 = Evaluator.fscore(spark, df(x), df(y),
+        topKx = Some(k), topKy = Some(2)).avg
+      assert(math.abs(got2 - want2) < 1e-12, s"k=$k both sides")
+    }
+    // k >= cluster count is the uncapped score
+    assert(math.abs(Evaluator.fscore(spark, df(x), df(y),
+      topKx = Some(99)).avg - FScore.score(x, y)._3) < 1e-12)
   }
 }
