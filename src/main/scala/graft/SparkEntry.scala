@@ -146,7 +146,14 @@ object SparkEntry {
     "q44_chunk_spans" -> ((s, d) => T.chunkSpans(s, d)),
     // per-source dedup-rate rollup: docs / duplicates / distinct clusters
     // contributed by each ingest source
-    "q45_source_stats" -> ((s, d) => M.sourceDedupStats(s, d))
+    "q45_source_stats" -> ((s, d) => M.sourceDedupStats(s, d)),
+    // deterministic hash-threshold mixture sampling: per-source keep
+    // fractions as a pure map pass + broadcast rates dim (reproducible,
+    // rank-free — the only sampler shape that survives 100 TB)
+    "q46_mixture_sample" -> ((s, d) => T.mixtureSample(s, d)),
+    // exact per-language token-length quantiles (percentile_disc
+    // semantics, integer-exact — no interpolated doubles)
+    "q47_length_quantiles" -> ((s, d) => T.lengthQuantiles(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -194,6 +201,8 @@ object SparkEntry {
     "q42_pq_codes" -> E.pqCodesSql,
     "q43_pq_adc_topk" -> E.pqAdcTopKSql,
     "q44_chunk_spans" -> T.chunkSpansSql,
-    "q45_source_stats" -> M.sourceDedupStatsSql
+    "q45_source_stats" -> M.sourceDedupStatsSql,
+    "q46_mixture_sample" -> T.mixtureSampleSql,
+    "q47_length_quantiles" -> T.lengthQuantilesSql
   )
 }

@@ -548,6 +548,8 @@ FROM ranked WHERE rn <= 5 ORDER BY vec_id, rnk"""
   private val PqM = 4
   private val PqK = 4
   private val PqSub = Ops.EmbeddingDims / PqM
+  private val PqTopK = 5
+  private val PqQueryVec = 0L
   private def sl(v: String): String =
     s"list_slice($v, subs.sub::INT * $PqSub + 1, (subs.sub::INT + 1) * $PqSub)"
 
@@ -591,7 +593,7 @@ codes AS (
     *         deterministic (adc, vec_id) order
     */
   def pqAdcTopK(spark: SparkSession, dir: String, m: Int = PqM, k: Int = PqK,
-      topK: Int = 5, queryVecId: Long = 0L): DataFrame = {
+      topK: Int = PqTopK, queryVecId: Long = PqQueryVec): DataFrame = {
     import spark.implicits._
     val (e, seeds) = pqSetup(spark, dir, m, k) // ONE seed collect, shared
     val sub = Ops.EmbeddingDims / m
@@ -615,7 +617,7 @@ codes AS (
 
   val pqAdcTopKSql: String = s"""
 WITH $pqCtes,
-query AS (SELECT qe FROM q WHERE vec_id = 0),
+query AS (SELECT qe FROM q WHERE vec_id = $PqQueryVec),
 lut AS (
   SELECT subs.sub, seeds.code,
     list_dot_product(${sl("query.qe")}, ${sl("query.qe")})::BIGINT
@@ -625,7 +627,7 @@ lut AS (
 )
 SELECT c.vec_id, sum(l.d)::BIGINT AS adc
 FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-WHERE c.vec_id <> 0
+WHERE c.vec_id <> $PqQueryVec
 GROUP BY c.vec_id
-ORDER BY adc, vec_id LIMIT 5"""
+ORDER BY adc, vec_id LIMIT $PqTopK"""
 }

@@ -736,6 +736,114 @@ SELECT doc_id, n AS n_tokens, prev // $ChunkTokens AS start_chunk,
   (prev + n - 1) // $ChunkTokens AS end_chunk
 FROM c ORDER BY doc_id"""
 
+  // ------------------------------------------------- mixture sampling --
+
+  /** Deterministic hash-threshold mixture sampling — the training-mixture
+    * step that downweights a source without materializing ranks: source
+    * `s` keeps the docs whose universal hash lands under `pct(s)`% of the
+    * hash range. The keep decision `((doc_id mod P) * a0 + b0) mod P`
+    * vs `P * pct / 100` is integer-exact, reproducible across runs and
+    * engines, and a PURE MAP over the corpus — the only sampler shape
+    * that survives 100 TB (a per-source rank/window would globally sort
+    * each stratum; a `rand()` sample would not be reproducible). The
+    * per-source rates ride a broadcast dim (tiny by construction).
+    * The `doc_id mod P` pre-reduction keeps `(P-1) * a0 + b0 < 2^63`
+    * overflow-safe under ANSI mode for arbitrary 64-bit ids.
+    *
+    * @param rates (source, pct) frame; defaults to [[defaultRates]]
+    * @return (doc_id, source, pct, kept) for every doc — kept=1 iff
+    *         sampled into the mixture
+    */
+  def mixtureSample(spark: SparkSession, dir: String,
+      rates: Option[DataFrame] = None): DataFrame = {
+    val docs = Ops.table(spark, dir, "documents").select("doc_id", "source")
+    val r = rates.getOrElse(defaultRates(spark, dir))
+    val (a0, b0) = Ops.hashPairs(0)
+    val p = Ops.Prime
+    docs.join(broadcast(r), "source")
+      .select(col("doc_id"), col("source"), col("pct"),
+        when(((col("doc_id") % p) * a0 + b0) % p * 100 < lit(p) * col("pct"),
+          1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Gate-default mixture policy: pct(s) = 20 + 20·((len(s)+ascii(last
+    * char of s)) mod 4) — a fixed deterministic rule standing in for a
+    * curation team's mixture table (both faces derive it from the same
+    * expression, so the oracle cannot drift).
+    */
+  def defaultRates(spark: SparkSession, dir: String): DataFrame =
+    Ops.table(spark, dir, "documents").select("source").distinct()
+      .withColumn("pct", expr(
+        "cast(20 + 20 * ((length(source) + ascii(substring(source, -1, 1))) % 4) as bigint)"))
+
+  lazy val mixtureSampleSql: String = {
+    val (a0, b0) = Ops.hashPairs(0)
+    val p = Ops.Prime
+    s"""
+WITH rates AS (
+  SELECT DISTINCT source,
+    (20 + 20 * ((length(source) + ascii(substr(source, -1, 1))) % 4))::BIGINT AS pct
+  FROM documents
+)
+SELECT d.doc_id, d.source, r.pct,
+  (CASE WHEN ((d.doc_id % $p) * $a0 + $b0) % $p * 100 < $p * r.pct
+        THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM documents d JOIN rates r USING (source)
+ORDER BY d.doc_id"""
+  }
+
+  // ------------------------------------------------- length quantiles --
+
+  /** One definition site for the gate's quantile points, interpolated into
+    * [[lengthQuantilesSql]].
+    */
+  val QuantilePcts: Seq[Int] = Seq(50, 90, 99)
+
+  /** Exact per-language token-length quantiles — the length-distribution
+    * dashboard a curation run reads (and the input to truncation-policy
+    * choices): the value at rank ceil(pct·n/100) of each language's
+    * sorted token-count multiset (percentile_disc semantics — NO
+    * interpolation, so the output is integer-exact under the DuckDB
+    * gate, unlike approx_percentile/percentile which interpolate
+    * doubles). One distributed sort per language partition (language
+    * cardinality is tiny and bounded); the quantile points join as a
+    * broadcast 3-row dim on the computed rank.
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String,
+      pcts: Seq[Int] = QuantilePcts): DataFrame = {
+    import spark.implicits._
+    val toks = Ops.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n", "doc_id")
+    val ranked = toks.withColumn("rn", row_number().over(w).cast("long"))
+    val counts = toks.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val qdf = pcts.map(_.toLong).toDF("pct")
+    ranked.join(counts, "lang")
+      .join(broadcast(qdf), col("rn") === expr("(pct * cnt + 99) div 100"))
+      .select(col("lang"), col("pct"), col("n").as("n_tokens"))
+      .orderBy("lang", "pct")
+  }
+
+  lazy val lengthQuantilesSql: String = s"""
+WITH t AS (
+  SELECT doc_id, lang,
+    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n
+  FROM documents
+),
+r AS (
+  SELECT lang, n,
+    row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn
+  FROM t
+),
+c AS (SELECT lang, count(*) AS cnt FROM t GROUP BY lang),
+q AS (SELECT unnest([${QuantilePcts.mkString(", ")}])::BIGINT AS pct)
+SELECT r.lang, q.pct, r.n AS n_tokens
+FROM r JOIN c USING (lang) JOIN q ON r.rn = (q.pct * c.cnt + 99) // 100
+ORDER BY lang, pct"""
+
   /** Benchmark decontamination — the training-data staple the substring
     * machinery exists for: flag corpus documents sharing any length-L
     * character window with a benchmark/eval set, so test data can be

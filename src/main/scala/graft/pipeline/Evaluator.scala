@@ -58,8 +58,16 @@ object Evaluator {
 
   def fscore(spark: SparkSession, x: DataFrame, y: DataFrame,
       topKx: Option[Int] = None, topKy: Option[Int] = None): Scores = {
-    val (scored, sx, sy) = contingency(
+    val (scored0, sx, sy) = contingency(
       topKx.fold(x)(keepLargest(x, _)), topKy.fold(y)(keepLargest(y, _)))
+    // BOTH side passes consume the full contingency — persist it so the
+    // member equi-join + intersection aggregate run once per fscore call,
+    // not once per side (the sweep's evaluator leg is a fixed per-step
+    // latency: 13.9 s -> 9.9 s at 4M/local[32], BASELINE.md round-5
+    // per-leg table). The contingency is one row per intersecting label
+    // PAIR — far smaller than the membership tables it derives from.
+    val scored = scored0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def side(groupCol: String, sizes: DataFrame, sizeCol: String): Double = {
       val best = scored.groupBy(groupCol).agg(max(col("f1")).as("best"))
@@ -72,9 +80,11 @@ object Evaluator {
       row.getDouble(0) / row.getLong(1)
     }
 
-    val fX = side("lx", sx, "nx")
-    val fY = side("ly", sy, "ny")
-    Scores(fX, fY, (fX + fY) / 2)
+    try {
+      val fX = side("lx", sx, "nx")
+      val fY = side("ly", sy, "ny")
+      Scores(fX, fY, (fX + fY) / 2)
+    } finally scored.unpersist()
   }
 
   /** Distributed normalized mutual information (SURVEY.md A14, reference

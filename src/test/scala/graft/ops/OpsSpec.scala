@@ -465,6 +465,51 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(2L -> 2L, 5L -> 2L, 7L -> 7L, 9L -> 9L))
   }
 
+  test("mixture sample: map-pass sampler — rates honored, reproducible, " +
+      "plan has no window/sort over the corpus") {
+    val out = TextQueries.mixtureSample(spark, sf)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reproducible by construction: second run byte-identical
+    val again = TextQueries.mixtureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+    // empirical keep rate tracks pct per source (universal hash is
+    // uniform; 500 docs over ~20 sources → loose statistical bounds)
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      val pct = rs.head._3
+      val kept = rs.count(_._4 == 1L).toDouble / rs.length * 100
+      assert(math.abs(kept - pct) < 35, s"$src: kept $kept% vs pct $pct")
+    }
+    // the whole-corpus keep rate is tight even at 500 docs
+    val wantAvg = rows.map(_._3).sum.toDouble / rows.length
+    val gotAvg = rows.count(_._4 == 1L).toDouble / rows.length * 100
+    assert(math.abs(gotAvg - wantAvg) < 10, s"$gotAvg vs $wantAvg")
+    // scale shape: no Window/Sort over the corpus — the only exchanges are
+    // the tiny rates-dim broadcast and the presentation sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sampler must not window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates dim must broadcast:\n$plan")
+  }
+
+  test("length quantiles == serial percentile_disc per language") {
+    val got = TextQueries.lengthQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val toks = TextQueries.tokenCount(spark, sf)
+      .join(Ops.table(spark, sf, "documents").select("doc_id", "lang"), "doc_id")
+      .collect().map(r => (r.getString(3), r.getLong(1))) // (lang, n_ws_tokens)
+    val want = toks.groupBy(_._1).toSeq.flatMap { case (lang, rs) =>
+      val sorted = rs.map(_._2).sorted
+      TextQueries.QuantilePcts.map { p =>
+        val idx = (p * sorted.length + 99) / 100 // ceil rank, 1-based
+        (lang, p.toLong, sorted(idx - 1))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want)
+  }
+
   test("repetition stats: bigram counting edges (short docs, heavy repeats)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString

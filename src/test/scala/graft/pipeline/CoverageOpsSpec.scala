@@ -113,6 +113,54 @@ class CoverageOpsSpec extends AnyFunSuite with SparkSpec {
     assert(edges == "1 2\n1 3\n2 1\n3 1\n", s"got:\n$edges")
   }
 
+  test("S4: MRMPI-print cluster scan — labels, rename, dup-label, size filter") {
+    // exact shape of `graph_formater.cpp:160-175` / read at
+    // `fvalue_evaluator.cpp:827-872`
+    val path = writeTsv(Seq(
+      "KMV pair: proc 0, nvalues 3, sizes 9 4679, key @0, values /a_1 /b_1 /a_2",
+      "KMV pair: proc 0, nvalues 1, sizes 9 4679, key @1, values /c_1",
+      // duplicate label: the reference keeps the FIRST line's cluster
+      "KMV pair: proc 0, nvalues 2, sizes 9 4679, key @1, values /d_1 /e_1"))
+    val raw = ClusterFormats.readMrmpi(spark, path)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(raw == Set("/a_1" -> "@0", "/b_1" -> "@0", "/a_2" -> "@0",
+      "/c_1" -> "@1"))
+    val renamed = ClusterFormats.readMrmpi(spark, path, rename = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(renamed == Set("a" -> "@0", "b" -> "@0", "c" -> "@1"))
+    val filtered = ClusterFormats.readMrmpi(spark, path, minClusterSize = 2,
+        rename = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(filtered == Set("a" -> "@0", "b" -> "@0"))
+  }
+
+  test("S6: pclust block scan — block ordinals, '>' strip, rename, tail block") {
+    val path = writeTsv(Seq(
+      "Cluster: 0",
+      "0 >seqA_1",
+      "1 >seqB_1",
+      "Cluster: 1",
+      "0 seqC",
+      "1 >seqA_2")) // no trailing header: last block must still flush
+    val raw = ClusterFormats.readPclust(spark, path)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(raw == Set("/seqA_1" -> "0", "/seqB_1" -> "0",
+      "/seqC" -> "1", "/seqA_2" -> "1"))
+    val renamed = ClusterFormats.readPclust(spark, path, rename = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(renamed == Set("seqA" -> "0", "seqB" -> "0",
+      "seqC" -> "1", "seqA" -> "1"))
+    // both legacy formats feed the evaluator directly: the same partition
+    // under different label spaces scores 1.0
+    val mr = writeTsv(Seq(
+      "KMV pair: proc 0, nvalues 2, sizes 9 4679, key @7, values /seqA_1 /seqB_1",
+      "KMV pair: proc 0, nvalues 2, sizes 9 4679, key @8, values /seqC /seqA_2"))
+    val s = Evaluator.fscore(spark,
+      ClusterFormats.readPclust(spark, path),
+      ClusterFormats.readMrmpi(spark, mr))
+    assert(math.abs(s.avg - 1.0) < 1e-12, s"got $s")
+  }
+
   test("community return bridge: export → external tool file → evaluator") {
     // the reference's nocc→Louvain loop: METIS out, community file BACK
     // (`graph_formater.cpp:118-158`) — round-trip through our export
