@@ -33,14 +33,27 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
 
+    # a filtered graft.Verify run dumps only a subset; its selected.txt
+    # manifest says which — every listed query MUST be present and green
+    # (a query that crashed in Verify writes no dir and must read as a
+    # FAILURE here, never as a skip)
+    sel_path = f"{out_dir}/selected.txt"
+    if os.path.isfile(sel_path):
+        with open(sel_path) as f:
+            expected = {l.strip() for l in f if l.strip()}
+    else:
+        expected = set(oracles)
+
     failures = 0
     compared = 0
     for name, sql in sorted(oracles.items()):
-        # a filtered graft.Verify run (third arg) dumps only a subset of
-        # result dirs; compare what is present
-        if not os.path.isdir(f"{out_dir}/{name}"):
+        if name not in expected:
             continue
         compared += 1
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"FAIL {name}: no result dir (query crashed in Verify?)")
+            failures += 1
+            continue
         try:
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:

@@ -30,6 +30,12 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains)) }
     require(selected.nonEmpty, s"no query matches filter ${only.get}")
+    // manifest of what THIS run dumped: the compare side scores exactly
+    // this set and fails on a missing dir — a query that threw (and wrote
+    // nothing) can never read as green, and stale dirs from an earlier
+    // run into the same outDir are never scored as current
+    Files.writeString(Paths.get(s"$outDir/selected.txt"),
+      selected.keys.toSeq.sorted.mkString("", "\n", "\n"))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

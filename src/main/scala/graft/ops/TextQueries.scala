@@ -671,14 +671,24 @@ GROUP BY 1, 2 ORDER BY id_a, id_b"""
     * bounded by the bucket count, then a bucket-local window pass), NOT a
     * single-partition global window.
     *
-    * Buckets are a pure FUNCTION OF doc_id — `(doc_id - min) div width` —
-    * never a sampled range partitioner: the round-4 form carried iterator
-    * state across two actions on a persisted RDD, so a recompute under a
-    * different `repartitionByRange` sample could shift every offset
+    * Buckets derive from EXACT fine-grained id-range counts — never a
+    * sampled partitioner: the round-4 form carried iterator state across
+    * two actions on a persisted `repartitionByRange` RDD, so a recompute
+    * under a different boundary sample could shift every offset
     * (CORRECTNESS_r04 q44 postmortem, VERDICT round 4 §What's-wrong 1).
-    * Here each of the three passes (min/max, bucket totals, window) is
-    * independently deterministic by VALUE, so partition count, caching and
-    * recomputation cannot change the output.
+    * Here the id range splits into `numBuckets × 64` fine ranges (a pure
+    * function of doc_id), their exact row/token counts are collected
+    * (bounded by the fine-range count, never the row count), and
+    * contiguous fine ranges are greedily packed into ROW-BALANCED coarse
+    * buckets on the driver — so a sparse or clustered id space (xxhash64
+    * ids, id blocks per ingest batch) cannot collapse the window pass
+    * into one partition, while every boundary still derives from exact
+    * VALUES (partition count, caching and recomputation cannot change
+    * the output). Decimal bucket arithmetic stays exact for ids spanning
+    * the full signed-64 range. The corpus is tokenized twice (totals +
+    * final pass) by design — at 10^12 rows recomputing a map-side split
+    * beats persisting the tokenized frame — and the bounds pass reads
+    * only the column-pruned doc_id.
     *
     * @return (doc_id, n_tokens, start_chunk, end_chunk)
     */
@@ -687,32 +697,50 @@ GROUP BY 1, 2 ORDER BY id_a, id_b"""
     import spark.implicits._
     val buckets = math.max(1,
       if (numBuckets > 0) numBuckets else spark.sparkContext.defaultParallelism)
-    val toks = Ops.table(spark, dir, "documents")
-      .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
-    val bounds = toks.agg(min("doc_id"), max("doc_id")).head()
+    val docs = Ops.table(spark, dir, "documents")
+    val nExpr = size(split(trim(col("text")), "\\s+")).cast("long").as("n")
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
     if (bounds.isNullAt(0))
-      return toks.select(col("doc_id"), col("n").as("n_tokens"),
-        lit(0L).as("start_chunk"), lit(0L).as("end_chunk"))
+      return docs.select(col("doc_id"), nExpr)
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          lit(0L).as("start_chunk"), lit(0L).as("end_chunk"))
     val lo = bounds.getLong(0)
-    val width = math.max(1L, (bounds.getLong(1) - lo) / buckets + 1)
-    // `div`, not `/`: long division stays integer-exact (no double rounding
-    // for ids beyond 2^53)
-    val bucketed = toks.withColumn("bucket",
-      expr(s"(doc_id - ${lo}L) div ${width}L"))
-    // pass 1: per-bucket totals (partial-aggregating groupBy); the offset
-    // scan is bounded by the bucket count, never by the row count
-    val totals = bucketed.groupBy("bucket").agg(sum("n").as("tot"))
-      .as[(Long, Long)].collect().sortBy(_._1)
-    val offsets = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
-      .toSeq.toDF("bucket", "off")
+    val fineCount = buckets.toLong * 64
+    val width = ((BigInt(bounds.getLong(1)) - BigInt(lo)) / fineCount + 1).toLong
+    val fkCol = expr(
+      s"cast(floor((cast(doc_id as decimal(38,0)) - $lo) / $width) as bigint)")
+    val toks = docs.select(col("doc_id"), nExpr)
+    // pass 1: exact per-fine-range row/token totals (partial-aggregating)
+    val fineTotals = toks.groupBy(fkCol.as("fk"))
+      .agg(count(lit(1)).as("rows"), sum("n").as("tot"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // greedy driver-side packing: contiguous fine ranges -> coarse buckets
+    // of ~totalRows/buckets rows each, with the running token offset
+    // recorded where each coarse bucket starts
+    val target = math.max(1L, fineTotals.map(_._2).sum / buckets)
+    val fineMap = Seq.newBuilder[(Long, Long)] // fk -> coarse bucket
+    val coarseOff = Seq.newBuilder[(Long, Long)] // coarse bucket -> offset
+    var coarse = 0L
+    var rowsInCoarse = 0L
+    var run = 0L
+    coarseOff += ((0L, 0L))
+    fineTotals.foreach { case (fk, r, t) =>
+      if (rowsInCoarse >= target && coarse < buckets - 1) {
+        coarse += 1; rowsInCoarse = 0L; coarseOff += ((coarse, run))
+      }
+      fineMap += ((fk, coarse))
+      rowsInCoarse += r
+      run += t
+    }
+    val fm = broadcast(fineMap.result().toDF("fk", "bucket"))
+    val co = broadcast(coarseOff.result().toDF("bucket", "off"))
     // pass 2: bucket-local running sum (doc_id is unique, so the window
-    // order is total) + the broadcast bucket offset
+    // order is total) + the broadcast coarse-bucket offset
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offsets), "bucket")
+    toks.withColumn("fk", fkCol)
+      .join(fm, "fk").join(co, "bucket")
       .withColumn("prev", col("off") + coalesce(sum("n").over(win), lit(0L)))
       .select(col("doc_id"), col("n").as("n_tokens"),
         expr(s"prev div ${chunkTokens}L").as("start_chunk"),

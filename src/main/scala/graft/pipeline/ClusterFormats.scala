@@ -31,10 +31,15 @@ object ClusterFormats {
     val lines = spark.sparkContext.textFile(path).zipWithIndex()
       .toDF("line", "lineno")
       .where(length(trim(col("line"))) > 0)
-      .select(split(col("line"), " ").as("t"), col("lineno"))
+      .select(col("line"), split(col("line"), " ").as("t"), col("lineno"))
     val lab = element_at(col("t"), 11)
     val parsed = lines.select(
-      lab.substr(lit(1), length(lab) - 1).as("label"),
+      // a non-empty line that is not the 13+-token KMV shape is a
+      // corrupted dump — fail loudly instead of contributing a silent
+      // null-label / empty-member row (the CommunityImport discipline)
+      when(size(col("t")) >= 12, lab.substr(lit(1), length(lab) - 1))
+        .otherwise(raise_error(concat(
+          lit("malformed MRMPI cluster line: "), col("line")))).as("label"),
       slice(col("t"), lit(13), greatest(size(col("t")) - 12, lit(0))).as("ms"),
       col("lineno"))
     val first = parsed.groupBy("label").agg(min("lineno").as("lineno"))
@@ -72,12 +77,18 @@ object ClusterFormats {
     val bc = spark.sparkContext.broadcast(headers)
     val members = lines
       .filter { case (l, _) => !l.contains("Cluster:") && l.trim.nonEmpty }
-      .map { case (l, no) =>
+      .map { case (raw, no) =>
         val hs = bc.value
         val at = java.util.Arrays.binarySearch(hs, no)
         val idx = if (at >= 0) at else -(at + 1) - 1
         require(idx >= 0, s"member line ${no + 1} precedes the first header")
-        var m = l.substring(l.indexOf(' ') + 1)
+        // sscanf-style: skip leading whitespace, split index from name at
+        // the first space; a line with no name token is malformed
+        val l = raw.trim
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1,
+          s"malformed pclust member line ${no + 1}: '$raw'")
+        var m = l.substring(sp + 1)
         if (m.startsWith(">")) m = m.substring(1)
         if (rename) {
           val u = m.indexOf('_')

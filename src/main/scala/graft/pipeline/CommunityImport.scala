@@ -52,26 +52,32 @@ object CommunityImport {
         (i + 1, t.toLong)
       }
       .toDF("num", "label")
-    // inner join: every community line must resolve a dictionary vertex —
-    // a count mismatch fails loudly instead of silently dropping members
-    val out = dict.join(comms, "num").select(col("member"), col("label"))
-    out
+    // inner join — a vertex present on only one side is silently absent
+    // from the result; use [[readChecked]] for the fail-loud contract
+    dict.join(comms, "num").select(col("member"), col("label"))
   }
 
-  /** [[read]] plus the line-count contract check (community lines ==
-    * dictionary vertices), fail-loud — use when the files come from an
-    * external tool run that could have been truncated.
+  /** [[read]] plus the line-count contract check — community lines ==
+    * dictionary vertices == joined rows, checked in BOTH directions
+    * (a community file SHORTER than the dictionary is a truncated tool
+    * write; LONGER means a stale dictionary, and the inner join would
+    * silently drop the extra assignments) — use when the files come from
+    * an external tool run.
     */
   def readChecked(spark: SparkSession, communityFile: String,
       dictionaryFile: String): DataFrame = {
     val out = read(spark, communityFile, dictionaryFile)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = out.count()
-    val dictN = spark.read.textFile(dictionaryFile)
-      .filter(length(trim(col("value"))) > 0).count()
-    require(n == dictN,
-      s"community file resolves $n of $dictN dictionary vertices " +
-        "(truncated community file or mismatched dictionary?)")
+    def nonEmptyLines(path: String): Long =
+      spark.read.textFile(path)
+        .filter(length(trim(col("value"))) > 0).count()
+    val dictN = nonEmptyLines(dictionaryFile)
+    val commN = nonEmptyLines(communityFile)
+    require(commN == dictN && n == dictN,
+      s"community/dictionary mismatch: $commN community lines, $dictN " +
+        s"dictionary vertices, $n joined (truncated community file or " +
+        "stale dictionary?)")
     out
   }
 }

@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object HashSweep {
 
-  /** `legs` carries per-leg wall seconds for the step in execution order
+  /** `legs` carries per-leg wall seconds for the step in completion order
     * (profiling surface for SweepBench / BASELINE.md). Dot-prefixed names
-    * are SUB-legs timed inside the preceding top-level leg (they overlap
-    * it; don't sum dotted and undotted together).
+    * are SUB-legs timed inside an enclosing top-level leg and appear
+    * BEFORE it (a leg is appended when its body finishes, so inner legs
+    * land first — e.g. `.pairgen_kmer_test` belongs to the `cluster_test`
+    * entry that FOLLOWS it, not to the leg before). Sub-legs overlap
+    * their parent; don't sum dotted and undotted together.
     */
   final case class SweepStep(numHashes: Int, fscore: Double, clusters: Long,
       legs: Seq[(String, Double)] = Seq.empty)

@@ -52,7 +52,8 @@ object SweepBench {
     val sec = (System.nanoTime() - t0) / 1e9
     res.steps.foreach { s =>
       println(f"step h=${s.numHashes} fscore=${s.fscore}%.4f clusters=${s.clusters}")
-      // per-leg walls (dot-prefixed = sub-leg inside the preceding leg)
+      // per-leg walls in completion order (dot-prefixed = sub-leg of the
+      // enclosing top-level leg that follows it)
       s.legs.foreach { case (name, secs) =>
         println(f"  leg $name%-28s ${secs}%8.2f s")
       }

@@ -441,6 +441,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       spark.sharedState.cacheManager.clearCache()
       assert(run() == want, s"repeat $i diverged")
     }
+
+    // adversarial id space: clustered sparse ids spanning almost the full
+    // signed-64 range (negative lows, dense block, huge outlier) — the
+    // decimal bucket arithmetic and the row-balanced fine-range packing
+    // must stay value-exact where naive `(id - min) div width` longs
+    // would overflow and one value-range bucket would swallow the corpus
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    val ids = Seq(Long.MinValue + 5, -1000L, -999L) ++
+      (0L to 400L) ++ Seq(Long.MaxValue - 3)
+    ids.map(i => (i, s"tok ${"x " * (i.abs % 7).toInt}".trim))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val sparse = TextQueries.chunkSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val sparseToks = TextQueries.tokenCount(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var c2 = 0L
+    val sparseWant = sparseToks.map { case (id, n) =>
+      val s = c2; c2 += n; (id, n, s / 256, (c2 - 1) / 256)
+    }.toSeq
+    assert(sparse == sparseWant)
   }
 
   test("ngram census: hashed scale form == string-keyed twin; exact dedup " +

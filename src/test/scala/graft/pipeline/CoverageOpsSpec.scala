@@ -161,6 +161,23 @@ class CoverageOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(s.avg - 1.0) < 1e-12, s"got $s")
   }
 
+  test("legacy scans fail loudly on corrupted files (never silent garbage)") {
+    // MRMPI: an interleaved diagnostic line is not the 13+-token KMV shape
+    val badMr = writeTsv(Seq(
+      "KMV pair: proc 0, nvalues 1, sizes 9 4679, key @0, values /a_1",
+      "MR-MPI summary: whatever"))
+    val e1 = intercept[Exception] {
+      ClusterFormats.readMrmpi(spark, badMr).collect()
+    }
+    assert(e1.getMessage != null)
+    // pclust: a member line with no name token
+    val badPc = writeTsv(Seq("Cluster: 0", "0"))
+    val e2 = intercept[Exception] {
+      ClusterFormats.readPclust(spark, badPc).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("community return bridge: export → external tool file → evaluator") {
     // the reference's nocc→Louvain loop: METIS out, community file BACK
     // (`graph_formater.cpp:118-158`) — round-trip through our export
@@ -189,6 +206,15 @@ class CoverageOpsSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       CommunityImport.readChecked(spark,
         dir.resolve("bad.communities").toString, f + "_dictionary")
+    }
+    // ...and so does the OTHER direction: a community file LONGER than the
+    // dictionary (stale dictionary) — the inner join would silently drop
+    // the extra assignments
+    java.nio.file.Files.write(dir.resolve("long.communities"),
+      "0\n0\n1\n2\n3\n5\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      CommunityImport.readChecked(spark,
+        dir.resolve("long.communities").toString, f + "_dictionary")
     }
   }
 
