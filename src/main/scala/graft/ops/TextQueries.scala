@@ -783,16 +783,25 @@ FROM c ORDER BY doc_id"""
     *         sampled into the mixture
     */
   def mixtureSample(spark: SparkSession, dir: String,
-      rates: Option[DataFrame] = None): DataFrame = {
-    val docs = Ops.table(spark, dir, "documents").select("doc_id", "source")
-    val r = rates.getOrElse(defaultRates(spark, dir))
+      rates: Option[DataFrame] = None): DataFrame =
+    mixtureSampleDf(
+      Ops.table(spark, dir, "documents").select("doc_id", "source"),
+      rates.getOrElse(defaultRates(spark, dir)))
+      .orderBy("doc_id")
+
+  /** [[mixtureSample]] over any (doc_id, source, ...) frame — batch OR
+    * streaming: the sampler is stateless (map + broadcast dim, no sort,
+    * no state store), so the exact same plan runs under a `readStream`
+    * source in append mode, which is the production shape for sampling a
+    * live ingest feed (spec: streaming == batch row-for-row).
+    */
+  def mixtureSampleDf(docs: DataFrame, rates: DataFrame): DataFrame = {
     val (a0, b0) = Ops.hashPairs(0)
     val p = Ops.Prime
-    docs.join(broadcast(r), "source")
+    docs.join(broadcast(rates), "source")
       .select(col("doc_id"), col("source"), col("pct"),
         when(((col("doc_id") % p) * a0 + b0) % p * 100 < lit(p) * col("pct"),
           1L).otherwise(0L).as("kept"))
-      .orderBy("doc_id")
   }
 
   /** Gate-default mixture policy: pct(s) = 20 + 20·((len(s)+ascii(last

@@ -181,6 +181,32 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     }, "fixture must produce at least one cross-restart pair")
   }
 
+  test("streaming mixture sampling == batch (stateless map + broadcast dim)") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"src${i % 5}"))
+    val rates = Seq(("src0", 20L), ("src1", 40L), ("src2", 60L),
+      ("src3", 80L), ("src4", 100L)).toDF("source", "pct")
+    val want = graft.ops.TextQueries
+      .mixtureSampleDf(docs.toDF("doc_id", "source"), rates)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(want.count(_._4 == 1L) > 0 && want.count(_._4 == 0L) > 0)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.TextQueries
+      .mixtureSampleDf(input.toDF().toDF("doc_id", "source"), rates)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").start()
+    val (w1, w2) = docs.splitAt(docs.size / 2)
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM mix_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    assert(got == want)
+  }
+
   test("streaming dedup against a static corpus: bloom flags == exact band join") {
     implicit val sc = spark.sqlContext
     val params = MinHashParams(numHashes = 8)
