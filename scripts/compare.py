@@ -43,8 +43,14 @@ def main() -> int:
             expected = {l.strip() for l in f if l.strip()}
     else:
         expected = set(oracles)
+    # every selected query must actually be scoreable: a name in the
+    # manifest with no oracle SQL (queries/oracleSql map drift) would
+    # otherwise be skipped silently and 'ALL OK' could verify nothing
+    no_oracle = expected - set(oracles)
+    for name in sorted(no_oracle):
+        print(f"FAIL {name}: selected but has no oracle SQL")
 
-    failures = 0
+    failures = len(no_oracle)
     compared = 0
     for name, sql in sorted(oracles.items()):
         if name not in expected:

@@ -27,6 +27,14 @@ object Bench {
     sys.env.get(name)
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(default)
 
+  /** Same degradation contract for boolean knobs (`BENCH_QUERIES=yes`
+    * must not abort the bench before the JSON artifact is emitted).
+    */
+  private def envBool(name: String, default: Boolean): Boolean =
+    sys.env.get(name)
+      .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption)
+      .getOrElse(default)
+
   /** Same-process CPU-noise probe: a fixed single-thread xorshift loop
     * timed at known points of the run, reported in the bench JSON so a
     * slow host window is self-evident IN the artifact instead of
@@ -57,7 +65,7 @@ object Bench {
     // headline under-reported steady-state throughput ~10x (BASELINE.md)
     val benchDocs = envInt("BENCH_DOCS", 500000)
     val benchHashes = envInt("BENCH_HASHES", 16)
-    val runQueries = sys.env.getOrElse("BENCH_QUERIES", "true").toBoolean
+    val runQueries = envBool("BENCH_QUERIES", true)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,7 +75,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val withStages = sys.env.getOrElse("BENCH_STAGES", "true").toBoolean
+    val withStages = envBool("BENCH_STAGES", true)
     // end-to-end dedup throughput on a fresh stage dir; corpus generation
     // is materialized outside the timed window
     def runPipeline(nDocs: Int, hashes: Int): (Long, Long, Double) = {
@@ -133,7 +141,7 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         false
       }
-    if (sys.env.getOrElse("BENCH_WARMUP", "true").toBoolean)
+    if (envBool("BENCH_WARMUP", true))
       toRun.foreach { case (n, f) => runOnce(n, f) }
     val results = toRun.map { case (name, fn) =>
       val t = System.nanoTime()

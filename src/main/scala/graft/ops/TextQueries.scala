@@ -794,14 +794,24 @@ FROM c ORDER BY doc_id"""
     * no state store), so the exact same plan runs under a `readStream`
     * source in append mode, which is the production shape for sampling a
     * live ingest feed (spec: streaming == batch row-for-row).
+    *
+    * `pmod`, not `%`: Spark/DuckDB `%` is sign-preserving, and a negative
+    * hash residue would compare below every positive threshold — with
+    * xxhash64 doc ids (half negative) a plain `%` silently keeps EVERY
+    * negative-id doc regardless of rate. A source missing from `rates`
+    * raises (left join + null check) instead of silently dropping its
+    * docs.
     */
   def mixtureSampleDf(docs: DataFrame, rates: DataFrame): DataFrame = {
     val (a0, b0) = Ops.hashPairs(0)
     val p = Ops.Prime
-    docs.join(broadcast(rates), "source")
-      .select(col("doc_id"), col("source"), col("pct"),
-        when(((col("doc_id") % p) * a0 + b0) % p * 100 < lit(p) * col("pct"),
-          1L).otherwise(0L).as("kept"))
+    docs.join(broadcast(rates), Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("pct").isNotNull, col("pct"))
+          .otherwise(raise_error(concat(
+            lit("no mixture rate for source: "), col("source")))).as("pct"),
+        when((pmod(col("doc_id"), lit(p)) * a0 + b0) % p * 100
+            < lit(p) * col("pct"), 1L).otherwise(0L).as("kept"))
   }
 
   /** Gate-default mixture policy: pct(s) = 20 + 20·((len(s)+ascii(last
@@ -824,7 +834,7 @@ WITH rates AS (
   FROM documents
 )
 SELECT d.doc_id, d.source, r.pct,
-  (CASE WHEN ((d.doc_id % $p) * $a0 + $b0) % $p * 100 < $p * r.pct
+  (CASE WHEN ((d.doc_id % $p + $p) % $p * $a0 + $b0) % $p * 100 < $p * r.pct
         THEN 1 ELSE 0 END)::BIGINT AS kept
 FROM documents d JOIN rates r USING (source)
 ORDER BY d.doc_id"""

@@ -33,11 +33,16 @@ object ClusterFormats {
       .where(length(trim(col("line"))) > 0)
       .select(col("line"), split(col("line"), " ").as("t"), col("lineno"))
     val lab = element_at(col("t"), 11)
+    // a non-empty line that is not the KMV shape — `KMV pair: ... values
+    // ...` with >= 12 tokens — is a corrupted dump (e.g. an interleaved
+    // MRMPI diagnostic line): fail loudly instead of contributing a
+    // silent bogus-label row (the CommunityImport discipline)
+    val isKmv = size(col("t")) >= 12 &&
+      element_at(col("t"), 1) === "KMV" &&
+      element_at(col("t"), 2) === "pair:" &&
+      element_at(col("t"), 12) === "values"
     val parsed = lines.select(
-      // a non-empty line that is not the 13+-token KMV shape is a
-      // corrupted dump — fail loudly instead of contributing a silent
-      // null-label / empty-member row (the CommunityImport discipline)
-      when(size(col("t")) >= 12, lab.substr(lit(1), length(lab) - 1))
+      when(isKmv, lab.substr(lit(1), length(lab) - 1))
         .otherwise(raise_error(concat(
           lit("malformed MRMPI cluster line: "), col("line")))).as("label"),
       slice(col("t"), lit(13), greatest(size(col("t")) - 12, lit(0))).as("ms"),
@@ -99,15 +104,9 @@ object ClusterFormats {
     sizeFilter(members, minClusterSize)
   }
 
-  /** Drop clusters with fewer than `minClusterSize` distinct members (the
-    * shared `min_cluster_limit` semantics of all the reference's scans).
+  /** The shared `min_cluster_limit` semantics of all the reference's
+    * scans — one definition site ([[GroundTruth.minClusterFilter]]).
     */
   private def sizeFilter(members: DataFrame, minClusterSize: Int): DataFrame =
-    if (minClusterSize <= 1) members
-    else {
-      val sizes = members.groupBy("label").agg(count(lit(1)).as("n"))
-        .where(col("n") >= minClusterSize)
-        .select("label")
-      members.join(sizes, "label").select("member", "label")
-    }
+    GroundTruth.minClusterFilter(members, minClusterSize)
 }

@@ -47,7 +47,7 @@ object CommunityImport {
       .map { case (l, i) =>
         // the reference's sscanf("%d") semantics: leading int of the line
         val t = l.trim.split("\\s+")(0)
-        require(t.nonEmpty && t.forall(c => c.isDigit || c == '-'),
+        require(t.matches("-?\\d+"),
           s"malformed community line ${i + 1}: '$l'")
         (i + 1, t.toLong)
       }

@@ -43,16 +43,24 @@ object GroundTruth {
           .select(concat(lit("/"), col("seq"), lit("_"), col("k")).as("member"),
             col("label"))
       }
-    val distinctMembers = members.distinct()
-    if (minClusterSize <= 1) distinctMembers
+    minClusterFilter(members.distinct(), minClusterSize)
+  }
+
+  /** Drop clusters with fewer than `minClusterSize` (distinct) members —
+    * the reference's `min_cluster_limit` semantics, shared by every
+    * cluster scan (this TSV reader and [[ClusterFormats]]'s S4/S6 scans).
+    * Input must already be member-distinct per label.
+    */
+  private[pipeline] def minClusterFilter(members: DataFrame,
+      minClusterSize: Int): DataFrame =
+    if (minClusterSize <= 1) members
     else {
-      val sizes = distinctMembers.groupBy("label")
+      val sizes = members.groupBy("label")
         .agg(count(lit(1)).as("n"))
         .where(col("n") >= minClusterSize)
         .select("label")
-      distinctMembers.join(sizes, "label").select("member", "label")
+      members.join(sizes, "label").select("member", "label")
     }
-  }
 
   /** P4 — the reference's `rename_sequences` projection
     * (`shingling_cluster_generator_optimized.cpp:1129-1135`): strip the

@@ -162,7 +162,8 @@ class CoverageOpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("legacy scans fail loudly on corrupted files (never silent garbage)") {
-    // MRMPI: an interleaved diagnostic line is not the 13+-token KMV shape
+    // MRMPI: an interleaved diagnostic line is not the KMV shape — both
+    // the short form and a >= 12-token impostor must raise
     val badMr = writeTsv(Seq(
       "KMV pair: proc 0, nvalues 1, sizes 9 4679, key @0, values /a_1",
       "MR-MPI summary: whatever"))
@@ -170,6 +171,11 @@ class CoverageOpsSpec extends AnyFunSuite with SparkSpec {
       ClusterFormats.readMrmpi(spark, badMr).collect()
     }
     assert(e1.getMessage != null)
+    val badMr2 = writeTsv(Seq(
+      "MR-MPI memory usage: a b c d e f g h i j k l m n o p"))
+    intercept[Exception] {
+      ClusterFormats.readMrmpi(spark, badMr2).collect()
+    }
     // pclust: a member line with no name token
     val badPc = writeTsv(Seq("Cluster: 0", "0"))
     val e2 = intercept[Exception] {

@@ -184,7 +184,9 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
   test("streaming mixture sampling == batch (stateless map + broadcast dim)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
-    val docs = (1L to 200L).map(i => (i, s"src${i % 5}"))
+    // half NEGATIVE ids — the xxhash64-id regime: pmod keeps the rate
+    // honest where a sign-preserving % would keep every negative id
+    val docs = (-100L to 100L).filter(_ != 0).map(i => (i, s"src${i.abs % 5}"))
     val rates = Seq(("src0", 20L), ("src1", 40L), ("src2", 60L),
       ("src3", 80L), ("src4", 100L)).toDF("source", "pct")
     val want = graft.ops.TextQueries
@@ -192,6 +194,16 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3))).toSet
     assert(want.count(_._4 == 1L) > 0 && want.count(_._4 == 0L) > 0)
+    // negative ids are RATE-SAMPLED, not blanket-kept (the pmod fix): the
+    // pct=20 source must drop most of its negative-id docs too
+    val neg20 = want.filter(w => w._1 < 0 && w._3 == 20L)
+    assert(neg20.nonEmpty && neg20.count(_._4 == 1L) < neg20.size / 2,
+      s"negative-id docs ignore the keep rate: $neg20")
+    // a source missing from the rates dim raises, never silently drops
+    intercept[Exception] {
+      graft.ops.TextQueries.mixtureSampleDf(
+        Seq((1L, "unknown_src")).toDF("doc_id", "source"), rates).collect()
+    }
     val input = MemoryStream[(Long, String)]
     val q = graft.ops.TextQueries
       .mixtureSampleDf(input.toDF().toDF("doc_id", "source"), rates)
