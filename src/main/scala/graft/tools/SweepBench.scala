@@ -65,6 +65,7 @@ object SweepBench {
     if (!sys.env.contains("SWEEP_DIR")) {
       Fs.rmRf(new java.io.File(bandDir))
       Fs.rmRf(new java.io.File(s"$bandDir.vertex")) // I2 cache sibling dir
+      Fs.rmRf(new java.io.File(s"$bandDir.pairs")) // incremental pair table
     }
     spark.stop()
   }

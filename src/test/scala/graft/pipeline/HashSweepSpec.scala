@@ -91,6 +91,33 @@ class HashSweepSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == rowsAfterFirst)
   }
 
+  test("incremental pair table: uncommitted partition dropped + re-derived") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep-pc").toString
+    val pages = Pages.toDS(spark, PagesGen.micro).toDF()
+    def assignments(d: String) =
+      HashSweep.run(spark, pages, bandDir = d,
+        startHashes = 5, delta = 3, maxHashes = 7, threshold = 2.0)
+        .assignments.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = assignments(dir)
+    // crash simulation: the last band's pair append completed but its
+    // marker commit did not — the partition is an UNCOMMITTED increment
+    // and must be dropped and re-derived on restart, not double-counted
+    // or trusted half-written
+    val marker = new java.io.File(s"$dir.pairs", ".band_6_done")
+    assert(marker.exists(), "fixture: expected a committed band-6 marker")
+    assert(marker.delete())
+    val got = assignments(dir)
+    assert(got == want, "restart after a torn pair append diverged")
+    assert(marker.exists(), "restart must re-commit the dropped band")
+    // the pair table prefix is DISTINCT by construction: no (a, b)
+    // appears under two bands
+    val t = spark.read.parquet(s"$dir.pairs")
+    assert(t.groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).count() == 0, "pair stored under two bands")
+  }
+
   test("restarted sweep with shinglingIterations=2 resumes at the cached step") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sweep-vr").toString
     val pages = Pages.toDS(spark, PagesGen.micro).toDF()
