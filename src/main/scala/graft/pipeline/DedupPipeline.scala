@@ -316,7 +316,19 @@ object DedupPipeline {
   // (16x primary-shuffle inflation) or hashed bucket ids (not exact) —
   // both rejected; the duplication is inherent to high-similarity corpora.
   private def groupEmitPairs(spark: SparkSession, bandRows: DataFrame,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int): DataFrame =
+    // the band tag is pruned by Catalyst before the shuffle-back — free
+    groupEmitPairsTagged(spark, bandRows, maxBucketSize).select("a", "b")
+
+  /** [[groupEmitPairs]] keeping the ORIGIN BAND on each emitted pair —
+    * the provenance the sweep's incremental pair table needs
+    * ([[HashSweep]]: pairs stored under their first-seen band). Bounded
+    * memory per bucket like the untagged form; a hot bucket emits its
+    * pairs serially in one task (lossless — the salted decomposition
+    * applies only on the untagged path, where provenance is not needed).
+    */
+  private[pipeline] def groupEmitPairsTagged(spark: SparkSession,
+      bandRows: DataFrame, maxBucketSize: Int): DataFrame = {
     import spark.implicits._
     val cap = maxBucketSize
     bandRows
@@ -326,11 +338,11 @@ object DedupPipeline {
       .mapPartitions { it =>
         // stream (band, key) groups off the sorted iterator, then emit
         // each group's pairs lazily
-        val groups = new Iterator[Array[Long]] {
+        val groups = new Iterator[(Int, Array[Long])] {
           private var pending: (Int, Long, Long) =
             if (it.hasNext) it.next() else null
           override def hasNext: Boolean = pending != null
-          override def next(): Array[Long] = {
+          override def next(): (Int, Array[Long]) = {
             val (b0, k0, id0) = pending
             val ids = scala.collection.mutable.ArrayBuffer[Long](id0)
             pending = null
@@ -338,19 +350,19 @@ object DedupPipeline {
               val r = it.next()
               if (r._1 == b0 && r._2 == k0) ids += r._3 else pending = r
             }
-            ids.toArray // ascending: input is sorted by (band, key, id)
+            (b0, ids.toArray) // ascending: input sorted by (band, key, id)
           }
         }
-        groups.flatMap { ids =>
+        groups.flatMap { case (band, ids) =>
           if (ids.length < 2 || ids.length > cap) Iterator.empty
           else for {
             i <- ids.indices.iterator
             j <- (i + 1 until ids.length).iterator
             if ids(i) != ids(j)
-          } yield (ids(i), ids(j))
+          } yield (band, ids(i), ids(j))
         }
       }
-      .toDF("a", "b")
+      .toDF("band", "a", "b")
   }
 
   /** Deterministic block of an id within a B-block bucket decomposition

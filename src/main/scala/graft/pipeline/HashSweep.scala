@@ -70,10 +70,14 @@ object HashSweep {
     val docs = DedupPipeline.extractDocs(pages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // the band table and vertex caches are only valid under the hash
-    // family they were computed with — a restart against the same bandDir
-    // with different params would silently append rows from a DIFFERENT
-    // sketch space. Fingerprint the family on first write; mismatch on
+    val pairDir = s"$bandDir.pairs"
+
+    // the band table, pair table and vertex caches are only valid under
+    // the hash family they were computed with — a restart with different
+    // params would silently mix rows from a DIFFERENT sketch space.
+    // Fingerprint the family on first write IN EVERY PERSISTENT SIBLING
+    // (a user who cleans only bandDir after a mismatch must not be able
+    // to resume against a stale pair table or vertex cache); mismatch on
     // restart fails loudly (same invalidation discipline as the stage
     // snapshots' config fingerprint, see DedupConfig.fingerprint).
     {
@@ -85,38 +89,64 @@ object HashSweep {
         buf.clear(); buf.putLong(r); md.update(buf.array())
       }
       val fp = md.digest().take(12).map(b => f"$b%02x").mkString
-      val fpFile = java.nio.file.Paths.get(bandDir, ".params-fingerprint")
-      if (java.nio.file.Files.exists(fpFile)) {
-        val stored = new String(
-          java.nio.file.Files.readAllBytes(fpFile), "UTF-8").trim
-        if (stored != fp) throw new IllegalStateException(
-          s"bandDir $bandDir was materialized under a different hash " +
-          s"family/config (stored $stored, current $fp) — its band rows " +
-          "and vertex caches are not valid for these params; clean the " +
-          "directory or use a fresh bandDir")
-      } else {
-        java.nio.file.Files.createDirectories(fpFile.getParent)
-        java.nio.file.Files.write(fpFile, fp.getBytes("UTF-8"))
+      for (dir <- Seq(bandDir, pairDir, s"$bandDir.vertex")) {
+        val fpFile = java.nio.file.Paths.get(dir, ".params-fingerprint")
+        if (java.nio.file.Files.exists(fpFile)) {
+          val stored = new String(
+            java.nio.file.Files.readAllBytes(fpFile), "UTF-8").trim
+          if (stored != fp) throw new IllegalStateException(
+            s"$dir was materialized under a different hash " +
+            s"family/config (stored $stored, current $fp) — its rows " +
+            "are not valid for these params; clean bandDir AND its " +
+            ".pairs/.vertex siblings, or use a fresh bandDir")
+        } else {
+          java.nio.file.Files.createDirectories(fpFile.getParent)
+          java.nio.file.Files.write(fpFile, fp.getBytes("UTF-8"))
+        }
       }
     }
 
-    // restart durability: band rows are appended per hash index, so the
-    // already-materialized prefix must be derived from the existing
-    // `band=<i>` partitions — a killed sweep restarted with an in-memory
-    // zero would append DUPLICATE band rows for indices it already wrote
-    var materialized = {
-      val dirs = Option(new java.io.File(bandDir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("band="))
-        .map(_.getName.stripPrefix("band=").toInt)
-      if (dirs.isEmpty) 0
-      else {
-        val maxBand = dirs.max
-        require(dirs.toSet == (0 to maxBand).toSet,
-          s"bandDir $bandDir has a non-contiguous band prefix; clean it")
-        maxBand + 1
+    // Marker-committed partitioned appends (restart durability): a
+    // partitioned parquet append is not atomic across tasks, so each
+    // appended band index is committed by a `.band_<i>_done` marker;
+    // partitions without a marker are torn writes from a kill and are
+    // dropped + re-derived on restart. `adoptUnmarked` grandfathers a
+    // marker-less BAND directory written before the protocol existed
+    // (its contiguous prefix is adopted and markers back-filled); the
+    // pair table has carried markers from birth, so an unmarked pair
+    // partition is always a tear.
+    def commitMarkers(dir: String, from: Int, until: Int): Unit = {
+      new java.io.File(dir).mkdirs()
+      (from until until).foreach { b =>
+        val m = new java.io.File(dir, s".band_${b}_done")
+        require(m.createNewFile() || m.exists(), s"cannot commit marker $m")
       }
     }
+    def committedPrefix(dir: String, adoptUnmarked: Boolean): Int = {
+      val f = new java.io.File(dir)
+      def partDirs = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("band="))
+      var done = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("\\.band_\\d+_done"))
+        .map(_.getName.stripPrefix(".band_").stripSuffix("_done").toInt)
+        .toSet
+      val present = partDirs.map(_.getName.stripPrefix("band=").toInt)
+      if (done.isEmpty && present.nonEmpty && adoptUnmarked) {
+        done = present.toSet
+        commitMarkers(dir, 0, present.max + 1)
+      }
+      partDirs.filterNot(d => done(d.getName.stripPrefix("band=").toInt))
+        .foreach(d => graft.tools.Fs.rmRf(d))
+      if (done.isEmpty) 0
+      else {
+        val maxB = done.max
+        require(done == (0 to maxB).toSet,
+          s"$dir has a non-contiguous committed band prefix; clean it")
+        maxB + 1
+      }
+    }
+
+    var materialized = committedPrefix(bandDir, adoptUnmarked = true)
     def appendBands(until: Int): Unit = if (until > materialized) {
       val from = materialized
       val p = baseParams.copy(numHashes = until)
@@ -129,6 +159,7 @@ object HashSweep {
             .as(Seq("pos", "key")))
         .select(col("id"), (col("pos") + from).as("band"), col("key"))
         .write.mode("append").partitionBy("band").parquet(bandDir)
+      commitMarkers(bandDir, from, until)
       materialized = until
     }
 
@@ -143,31 +174,9 @@ object HashSweep {
     // O(h · bandRows) pair-gen re-join into O(bandRows_new + |pairs|)
     // (one new-band self-join + one anti-join against the ~|pairs| table),
     // and over a sweep O(h²) -> O(h) band-row joins — the same
-    // incrementality contract as the band table itself.
-    // Crash safety: a partitioned append is not atomic across tasks, so a
-    // per-band `.band_<i>_done` marker commits each increment; on restart,
-    // band partitions without a marker are dropped and re-derived.
-    val pairDir = s"$bandDir.pairs"
-    def pairMarker(b: Int) = new java.io.File(pairDir, s".band_${b}_done")
-    var pairsMaterialized = {
-      val f = new java.io.File(pairDir)
-      val done = Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("\\.band_\\d+_done"))
-        .map(_.getName.stripPrefix(".band_").stripSuffix("_done").toInt)
-        .toSet
-      Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("band="))
-        .filterNot(d => done(d.getName.stripPrefix("band=").toInt))
-        .foreach(d => graft.tools.Fs.rmRf(d))
-      if (done.isEmpty) 0
-      else {
-        val maxB = done.max
-        require(done == (0 to maxB).toSet,
-          s"pair table $pairDir has a non-contiguous committed prefix; " +
-          "clean it")
-        maxB + 1
-      }
-    }
+    // incrementality contract (and the same marker commit protocol) as
+    // the band table itself.
+    var pairsMaterialized = committedPrefix(pairDir, adoptUnmarked = false)
     // None when no band partition holds data yet (a pathological no-pair
     // corpus still writes markers but no parquet files)
     def pairTable(): Option[DataFrame] = {
@@ -189,17 +198,14 @@ object HashSweep {
             saltDetectFraction = saltDetectFraction)
             ._1.withColumn("band", lit(from))
         else
-          // bulk seed / multi-band catch-up: ONE job — tagged (band, key)
-          // self-join (AQE splits skewed buckets at runtime; pair-set
-          // equality with the group-emit kernel is spec-asserted in
-          // PlanSpec) + first-seen-band aggregate for the provenance.
-          // A per-band loop here costs h0 sequential driver round-trips
-          // (measured 195 s at 4M×41 — vs ~30 s for this single job)
-          range.as("l").join(range.as("r"),
-              col("l.band") === col("r.band") && col("l.key") === col("r.key")
-                && col("l.id") < col("r.id"))
-            .select(col("l.band").as("band"),
-              col("l.id").as("a"), col("r.id").as("b"))
+          // bulk seed / multi-band catch-up: ONE job — the band-tagged
+          // group-emit kernel (streamed buckets, memory bounded per
+          // bucket, NEVER a join-row blowup; a hot bucket emits serially
+          // in its task, lossless) + first-seen-band aggregate for the
+          // provenance. A per-band loop here costs h0 sequential driver
+          // round-trips (measured 195 s at 4M×41 — vs 46.5 s for the
+          // single job, BASELINE.md round 5)
+          DedupPipeline.groupEmitPairsTagged(spark, range, Int.MaxValue)
             .groupBy("a", "b").agg(min("band").as("band"))
       val fresh = pairTable() match {
         case None => fresh0
@@ -207,11 +213,7 @@ object HashSweep {
           fresh0.join(t.select("a", "b"), Seq("a", "b"), "left_anti")
       }
       fresh.write.mode("append").partitionBy("band").parquet(pairDir)
-      new java.io.File(pairDir).mkdirs()
-      (from until until).foreach { b =>
-        require(pairMarker(b).createNewFile() || pairMarker(b).exists(),
-          s"cannot commit pair marker for band $b")
-      }
+      commitMarkers(pairDir, from, until)
       pairsMaterialized = until
     }
 
@@ -245,16 +247,16 @@ object HashSweep {
       val pairs = caches match {
         case None => kmerPairs
         case Some(cs) =>
-          // kmer pairs feed the cache delta AND the final union — checkpoint
-          // once so the LSH join runs once per step
-          val kp = leg(s".pairgen_kmer_$trajectory")(
-            kmerPairs.localCheckpoint(true))
+          // kmer pairs are a committed parquet prefix now — both consumers
+          // (the cache delta and the final union) re-scan the pruned read
+          // cheaply; the pre-rewrite localCheckpoint existed because this
+          // used to be an expensive LSH join plan
           val vb = leg(s".cache_advance_$trajectory")(
-            cs(trajectory).advance(kp, numBands))
+            cs(trajectory).advance(kmerPairs, numBands))
           val (extra, _) = DedupPipeline.candidatePairs(spark, vb,
             Int.MaxValue, saltBlockSize = saltBlockSize,
             saltDetectFraction = saltDetectFraction)
-          kp.union(extra).distinct()
+          kmerPairs.union(extra).distinct()
       }
       // CC runs its iteration jobs eagerly, so this sub-leg also absorbs
       // the (lazy) vertex pair-gen + union feeding it

@@ -116,6 +116,28 @@ class HashSweepSpec extends AnyFunSuite with SparkSpec {
     val t = spark.read.parquet(s"$dir.pairs")
     assert(t.groupBy("a", "b").agg(count(lit(1)).as("n"))
       .where(col("n") > 1).count() == 0, "pair stored under two bands")
+
+    // same protocol on the BAND table: an unmarked band partition (torn
+    // appendBands write) is dropped and re-derived — it must never be
+    // adopted as complete and fed into the (durable) pair table
+    val bandMarker = new java.io.File(dir, ".band_6_done")
+    assert(bandMarker.exists())
+    assert(bandMarker.delete())
+    // make the tear real: remove one data file from the partition
+    val part = new java.io.File(dir, "band=6")
+    val dataFiles = part.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    assert(dataFiles.head.delete())
+    // the stale band-6 pair marker must not mask the re-derive: drop it
+    // the way a torn step would have (pairs commit follows band commit)
+    val pairMarker6 = new java.io.File(s"$dir.pairs", ".band_6_done")
+    if (pairMarker6.exists()) {
+      assert(pairMarker6.delete())
+      graft.tools.Fs.rmRf(new java.io.File(s"$dir.pairs", "band=6"))
+    }
+    val healed = assignments(dir)
+    assert(healed == want, "restart after a torn band append diverged")
+    assert(bandMarker.exists(), "restart must re-commit the torn band")
   }
 
   test("restarted sweep with shinglingIterations=2 resumes at the cached step") {
@@ -157,15 +179,17 @@ class HashSweepSpec extends AnyFunSuite with SparkSpec {
     assert(salted.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       == unsalted.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
 
-    // the exact pair stage the sweep runs (band-dir scan -> candidatePairs
-    // with the sweep's salt config) must carry the salted-plan shape:
-    // hot-key joins broadcast, band rows never sort-merged against hot keys
-    val bands = spark.read.parquet(dir).where(col("band") < 6)
-    val sized = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+    // the exact STEADY-STATE pair stage the sweep runs (one new band ->
+    // candidatePairs with the sweep's salt config; the bulk seed uses the
+    // streamed tagged group-emit, which has no join to mis-plan) must
+    // carry the salted-plan shape: hot-key joins broadcast, band rows
+    // never sort-merged against hot keys
+    val oneBand = spark.read.parquet(dir).where(col("band") === 5)
+    val sized = oneBand.groupBy("band", "key").agg(count(lit(1)).as("n"))
     assert(sized.where(col("n") > 16).count() > 0,
-      "fixture must produce hot buckets in the sweep's band table")
-    val (pairs, _) = DedupPipeline.candidatePairs(spark, bands, Int.MaxValue,
-      saltBlockSize = 16, saltDetectFraction = 1.0)
+      "fixture must produce a hot bucket in the increment band")
+    val (pairs, _) = DedupPipeline.candidatePairs(spark, oneBand,
+      Int.MaxValue, saltBlockSize = 16, saltDetectFraction = 1.0)
     val plan = pairs.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"sweep pair stage must broadcast hot keys in:\n$plan")
