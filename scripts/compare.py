@@ -76,11 +76,27 @@ def main() -> int:
             print(f"FAIL {name}: shape {got.shape} vs oracle {want.shape}")
             failures += 1
             continue
-        # align dtypes (spark int32 vs duckdb int64 etc.)
-        try:
-            want = want.astype({c: got[c].dtype for c in got.columns})
-        except Exception:
-            pass
+        # dtype discipline (driver parity): the ONLY canonical mapping
+        # allowed is integer-width alignment (spark int32 vs duckdb int64).
+        # Any other dtype mismatch — in particular a DuckDB HUGEINT/decimal
+        # arriving float64/object against an integer Spark column — is a
+        # FAILURE, exactly like the driver's strict hash (the silent
+        # coercion here let the q44 oracle-typing bug read green for two
+        # rounds — VERDICT r05 "What's wrong" #2).
+        dtype_bad = []
+        for c in got.columns:
+            g, w = got[c].dtype, want[c].dtype
+            if g == w:
+                continue
+            if pd.api.types.is_integer_dtype(g) and \
+                    pd.api.types.is_integer_dtype(w):
+                want[c] = want[c].astype(g)  # width alignment only
+            else:
+                dtype_bad.append(f"{c}: spark={g} oracle={w}")
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch ({'; '.join(dtype_bad)})")
+            failures += 1
+            continue
         eq = got.reset_index(drop=True).equals(want.reset_index(drop=True))
         if not eq:
             diff = (got != want)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
@@ -16,18 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingQueries {
 
+  /** Native codegen'd integer dot product ([[graft.functions.LongDot]]) —
+    * replaces the interpreted `aggregate(zip_with(...))` HOF pair in every
+    * per-pair hot path here (q17/q19/q28 and the nrm column).
+    */
+  private def dotOf(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.LongDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
   /** (vec_id, q) — quantized embeddings, plus nrm = <q,q>. The source is a
     * single parquet file (1-2 input splits); the brute-force cross join is
     * embarrassingly parallel, so spread the probe side across all cores.
     */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Ops.table(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    // split-gated spread (was a blind repartition — a full embedding-table
+    // shuffle at 100 TB; the gate passes many-split scans through
+    // unchanged, VERDICT r05 ask #3)
+    Ops.spreadSmallScan(Ops.table(spark, dir, "embeddings"), "vec_id")
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("q"))
-      .withColumn("nrm",
-        aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
+      .withColumn("nrm", dotOf(col("q"), col("q")))
 
   /** Brute-force cosine top-5: (vec_id, rnk, neighbor_id).
     *
@@ -46,8 +57,7 @@ object EmbeddingQueries {
     val a = e.select(col("vec_id").as("a_id"), col("q").as("qa"))
     val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"),
       col("nrm").as("nb"))
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dot = dotOf(col("qa"), col("qb"))
     val pairs = a.crossJoin(b)
       .where(col("a_id") =!= col("b_id"))
       .withColumn("dot", dot)
@@ -137,8 +147,7 @@ GROUP BY vec_id ORDER BY vec_id"""
       col("q").as("qa"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("b_id"),
       col("q").as("qb"), col("nrm").as("nb"))
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dot = dotOf(col("qa"), col("qb"))
     val pairs = a.join(b, "bucket")
       .where(col("a_id") =!= col("b_id"))
       .withColumn("dot", dot)
@@ -166,8 +175,7 @@ GROUP BY vec_id ORDER BY vec_id"""
       col("q").as("qa"), col("nrm").as("na"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("b"),
       col("q").as("qb"), col("nrm").as("nb"))
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dot = dotOf(col("qa"), col("qb"))
     val pairs = a.join(b, "bucket")
       .where(col("a") < col("b"))
       .withColumn("dot", dot)
@@ -298,8 +306,7 @@ ORDER BY vec_id"""
     val b = e.withColumn("cell", cellOf(col("q")))
       .select(col("cell"), col("vec_id").as("b_id"),
         col("q").as("qb"), col("nrm").as("nb"))
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dot = dotOf(col("qa"), col("qb"))
     val pairs = a.join(b, "cell")
       .where(col("a_id") =!= col("b_id"))
       .withColumn("dot", dot)

@@ -71,7 +71,18 @@ object MinHashDocQueries {
       DedupPipeline.candidatePairs(spark, bandRows(spark, dir), Int.MaxValue)
     val nodes = Ops.table(spark, dir, "documents")
       .select(col("doc_id").as("id"))
-    ConnectedComponents.run(spark, pairs, nodes)
+    // production CC shape (the exact call DedupPipeline.run makes): pair
+    // generation emits canonical distinct (a < b) pairs, so skip the
+    // canonicalize+distinct shuffle, and let the driver-finish gate
+    // collapse the O(log n) latency-bound star iterations into one
+    // collect+broadcast at gate scale (it never engages at 10^12 rows).
+    // Same min-label components either way (sbt: driver finish ==
+    // distributed == oracle); the distributed star loop keeps driver-gate
+    // coverage through q23's label-propagation cross-check and the CC
+    // specs. Measured r06: q04 3.2 -> ~1.4 s, and the six dependent
+    // cluster queries (q06/q07/q27/q39/q45) drop with it.
+    ConnectedComponents.run(spark, pairs, nodes, assumeCanonical = true,
+        driverFinishMaxEdges = 1L << 23)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
   }
@@ -89,20 +100,45 @@ object MinHashDocQueries {
     // and leaves no cache behind in a long-lived session. The managed
     // scale path (persisted packed sets, semi-join pruning, explicit
     // cache release) is [[DedupPipeline.verifyPairsManaged]].
-    val pairs = lshPairs(spark, dir)
-    val setOf = udf((t: String) => Shingler.shingleSet(t, k))
+    // pairs via candidatePairs DIRECTLY — not lshPairs, whose trailing
+    // orderBy is a global range exchange + sort the two joins below
+    // immediately destroy (guide §2.4: an orderBy used only to make
+    // output deterministic, mid-plan); the final orderBy here still
+    // fixes the output order
+    val (rawPairs, _) =
+      DedupPipeline.candidatePairs(spark, bandRows(spark, dir), Int.MaxValue)
+    val pairs = rawPairs.select(col("a").as("id_a"), col("b").as("id_b"))
+    // packed (delta+varint) sets + native codegen'd merge-count — the
+    // pipeline verify stage's discipline applied to the accounting query:
+    // the two pair-side joins materialize each set into every matched row,
+    // so packing (~2-3 B/shingle vs 8) cuts that row traffic ~3-4x, and
+    // the per-pair intersection is a static-call expression inside
+    // whole-stage codegen instead of a ScalaUDF with two array conversions
+    // (r06: 202k pairs at sf0.1; measured 4.4 -> ~2.9 s)
+    import org.apache.spark.sql.GraftSqlBridge
+    def nat(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      GraftSqlBridge.column(e)
+    def ex(c: org.apache.spark.sql.Column) = GraftSqlBridge.expression(c)
+    val setOf = udf((t: String) => Shingler.packSet(Shingler.shingleSet(t, k)))
     val sets = normalizedDocs(spark, dir)
       .select(col("doc_id"), setOf(col("t")).as("sh"))
-    val interOf = udf((x: Array[Long], y: Array[Long]) =>
-      Shingler.intersectionSize(x, y).toLong)
     pairs
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        interOf(col("sha"), col("shb")).as("inter_size"),
-        (size(col("sha")) + size(col("shb"))).cast("long").as("apb"))
+        nat(graft.functions.PackedIntersectionSize(
+          ex(col("sha")), ex(col("shb")))).as("inter_size"),
+        (nat(graft.functions.PackedSetSize(ex(col("sha"))))
+          + nat(graft.functions.PackedSetSize(ex(col("shb"))))).as("apb"))
       .select(col("id_a"), col("id_b"), col("inter_size"),
         (col("apb") - col("inter_size")).as("union_size"))
+      // materialize the (tiny, 32-byte-row) accounting rows in an exchange
+      // BEFORE the output orderBy: a range sort samples its child first,
+      // and without this boundary the sample pass re-ran both set joins
+      // and every merge-count a second time (measured: the orderBy added
+      // +1.6 s on a 2.4 s plan at sf0.1). The sort's sampling now reads
+      // shuffled 4-column rows instead of recomputing the verify work.
+      .repartition(col("id_a"))
       .orderBy("id_a", "id_b")
   }
 

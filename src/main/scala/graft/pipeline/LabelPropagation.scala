@@ -33,9 +33,21 @@ object LabelPropagation {
 
     var iter = 0
     var changed = 1L
+    // handle of the round's persisted frame (labels is a projection over
+    // it from round 2 on, so unpersist must target this, not labels)
+    var persisted: DataFrame = null
     while (changed > 0 && iter < maxIter) {
       // min label over the closed neighborhood: each node pulls its
-      // neighbors' labels, keeps the smallest including its own
+      // neighbors' labels, keeps the smallest including its own. The
+      // round's OLD label rides the checkpointed frame as `prev`, so the
+      // convergence count is a filter over the checkpoint's in-memory
+      // partitions — the former shape re-JOINED next against old labels
+      // (a full shuffle join per round) to recover information the round
+      // already had in hand. Same convergence criterion (count of nodes
+      // whose label changed) -> same round count, same output. The
+      // localCheckpoint stays: it truncates lineage so round r's plan
+      // does not nest r analyzed subtrees (a persist-based variant
+      // measured SLOWER here for exactly that reason).
       val pulled = directed
         .join(labels.select(col("id").as("v"), col("label").as("nl")), "v")
         .groupBy(col("u").as("id"))
@@ -44,14 +56,13 @@ object LabelPropagation {
         .join(pulled, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("pulled"), col("label")))
-            .as("label"))
+            .as("label"), col("label").as("prev"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = next.where(col("label") =!= col("prev")).count()
+      if (persisted != null) persisted.unpersist()
+      else labels.unpersist() // round 1: release the initial checkpoint
+      persisted = next
+      labels = next.select("id", "label")
       iter += 1
     }
     if (changed > 0)

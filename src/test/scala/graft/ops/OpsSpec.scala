@@ -19,6 +19,64 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(java.lang.Long.bitCount(a ^ b) <= 8)
   }
 
+  test("repetition: single-pass UDF == explode + double-groupBy reference") {
+    // r06 optimization: the shipped per-doc hash-map pass must equal the
+    // former two-shuffle aggregation form row-for-row on real data
+    val toks = split(trim(col("text")), "\\s+")
+    val bigramArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array())
+    val ref = Ops.table(spark, sf, "documents")
+      .select(col("doc_id"), explode(bigramArr).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("max_bigram_count"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val got = TextQueries.repetition(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == ref)
+  }
+
+  test("LongDot native expression == aggregate(zip_with) HOF form") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, -2L, 3L), Array(4L, 5L, -6L)),
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(Long.MaxValue / 4, 1L), Array(2L, -3L))
+    ).toDF("a", "b")
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0L), (acc, x) => acc + x)).collect().map(_.getLong(0))
+    val nat = df.select(GraftSqlBridge.column(graft.functions.LongDot(
+      GraftSqlBridge.expression(col("a")), GraftSqlBridge.expression(col("b")))))
+      .collect().map(_.getLong(0))
+    assert(hof.toSeq == nat.toSeq)
+  }
+
+  test("packed intersection/size expressions == unpacked kernels") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.core.Shingler
+    import spark.implicits._
+    val xs = Array(1L, 5L, 9L, 100000L)
+    val ys = Array(5L, 9L, 77L)
+    val df = Seq((Shingler.packSet(xs), Shingler.packSet(ys)))
+      .toDF("x", "y")
+    val row = df.select(
+      GraftSqlBridge.column(graft.functions.PackedIntersectionSize(
+        GraftSqlBridge.expression(col("x")), GraftSqlBridge.expression(col("y")))),
+      GraftSqlBridge.column(graft.functions.PackedSetSize(
+        GraftSqlBridge.expression(col("x")))),
+      GraftSqlBridge.column(graft.functions.PackedSetSize(
+        GraftSqlBridge.expression(col("y"))))).head()
+    assert(row.getLong(0) == Shingler.intersectionSize(xs, ys).toLong)
+    assert(row.getLong(1) == xs.length.toLong && row.getLong(2) == ys.length.toLong)
+  }
+
   test("hyperplanes are deterministic and balanced-ish") {
     val p1 = Ops.hyperplane(3, 64)
     assert(p1 == Ops.hyperplane(3, 64))
@@ -411,9 +469,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
   test("chunk spans: distributed prefix sum == serial scan, any parallelism") {
     // the two-pass prefix sum must be a pure function of the doc_id total
     // order — invariant to bucket count, caching, and recomputation
+    // start/end_chunk are DOUBLE (driver-oracle dtype parity — the frozen
+    // DuckDB SQL's HUGEINT window sum arrives float64); they must still be
+    // exactly integral, so the spec round-trips them through toLong with an
+    // integrality assert
+    def asChunk(d: Double): Long = {
+      assert(d == math.rint(d) && math.abs(d) < (1L << 53), s"non-integral chunk $d")
+      d.toLong
+    }
     def run(numBuckets: Int = 0): Seq[(Long, Long, Long, Long)] =
       TextQueries.chunkSpans(spark, sf, numBuckets = numBuckets).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .map(r => (r.getLong(0), r.getLong(1), asChunk(r.getDouble(2)),
+          asChunk(r.getDouble(3))))
         .sortBy(_._1).toSeq
     val rows = run()
     // serial oracle over the same token counts
@@ -454,7 +521,8 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     ids.map(i => (i, s"tok ${"x " * (i.abs % 7).toInt}".trim))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
     val sparse = TextQueries.chunkSpans(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), asChunk(r.getDouble(2)),
+        asChunk(r.getDouble(3))))
       .sortBy(_._1).toSeq
     val sparseToks = TextQueries.tokenCount(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
