@@ -283,8 +283,19 @@ object MinHashDocQueries {
       else members.join(dropped.select("label"), Seq("label"), "left_anti")
     val sets = kept.groupBy("label")
       .agg(sort_array(collect_list(col("member"))).as("ms"))
-    val keep = sets.groupBy("ms").agg(min(col("label")).as("label"))
-      .select("label")
+    // identical-set dedup keyed on xxhash64(ms): the member ARRAY stays
+    // aggregation payload instead of becoming an O(degree)-wide exchange
+    // sort key (the q38/q29 8-byte-key discipline); min == max of the
+    // group is the fail-loud no-collision verify — a 64-bit collision
+    // raises instead of silently merging two distinct neighborhoods
+    val keep = sets
+      .groupBy(xxhash64(col("ms")).as("hs"))
+      .agg(min(col("label")).as("label"),
+        min(col("ms")).as("msMin"), max(col("ms")).as("msMax"))
+      .select(when(col("msMin") <=> col("msMax"), col("label"))
+        .otherwise(raise_error(lit(
+          "xxhash64(member-set) collision detected — nocc set-dedup")))
+        .as("label"))
     (kept.join(keep, Seq("label"), "left_semi"), dropped)
   }
 

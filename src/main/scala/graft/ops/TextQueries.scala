@@ -932,16 +932,31 @@ ORDER BY d.doc_id"""
   def lengthQuantiles(spark: SparkSession, dir: String,
       pcts: Seq[Int] = QuantilePcts): DataFrame = {
     import spark.implicits._
+    // rank arithmetic over per-(lang, n) COUNTS, not per-document ranks:
+    // the former Window.partitionBy(lang).orderBy(n, doc_id) row_number
+    // forced each language's full row set through ONE task's sort — the
+    // dominant language is most of a web corpus, so that was a global-sort
+    // reintroduction at 100 TB (ADVICE r05 #2). Here the corpus pass is a
+    // partial-aggregating groupBy(lang, n) (skew-proof, map-side
+    // combined); the window walks the tiny value-histogram frame
+    // (|distinct token counts| rows per language, bounded by max doc
+    // length). percentile_disc rank r = ceil(pct*cnt/100) selects the n
+    // whose cumulative range [lo, hi] covers r — the same value the
+    // per-row rank selected (the doc_id tie-break never changes n).
     val toks = Ops.table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
+      .select(col("lang"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    val byVal = toks.groupBy("lang", "n").agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("n", "doc_id")
-    val ranked = toks.withColumn("rn", row_number().over(w).cast("long"))
-    val counts = toks.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .partitionBy("lang").orderBy("n")
+    val cum = byVal
+      .withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c") + 1)
+    val counts = byVal.groupBy("lang").agg(sum(col("c")).as("cnt"))
     val qdf = pcts.map(_.toLong).toDF("pct")
-    ranked.join(counts, "lang")
-      .join(broadcast(qdf), col("rn") === expr("(pct * cnt + 99) div 100"))
+    cum.join(counts, "lang")
+      .join(broadcast(qdf),
+        expr("(pct * cnt + 99) div 100").between(col("lo"), col("hi")))
       .select(col("lang"), col("pct"), col("n").as("n_tokens"))
       .orderBy("lang", "pct")
   }

@@ -19,12 +19,18 @@ object LabelPropagation {
   /** @return DataFrame(id, component) — component = min member id. */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
       maxIter: Int = 200): DataFrame = {
+    // pre-partition the STATIC edge table by the per-round join key (v):
+    // Dataset.localCheckpoint preserves the plan's output partitioning in
+    // the LogicalRDD, so every round's `pulled` join reuses it instead of
+    // re-exchanging the edges each round — one shuffle per round saved on
+    // data that never changes (guide §2.4)
     val directed = edges
       .where(col("a") =!= col("b"))
       .select(col("a").as("u"), col("b").as("v"))
       .union(edges.where(col("a") =!= col("b"))
         .select(col("b").as("u"), col("a").as("v")))
       .distinct()
+      .repartition(col("v"))
       .localCheckpoint(true)
 
     var labels = nodes.select(col("id").cast("long"))

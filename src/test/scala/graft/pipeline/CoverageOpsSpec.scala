@@ -128,10 +128,15 @@ class CoverageOpsSpec extends AnyFunSuite with SparkSpec {
     val renamed = ClusterFormats.readMrmpi(spark, path, rename = true)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(renamed == Set("a" -> "@0", "b" -> "@0", "c" -> "@1"))
+    // min_cluster_limit applies BEFORE the labels_set dedup
+    // (fvalue_evaluator.cpp:855-866): label @1's first line renames to the
+    // single member {c} (undersized, skipped), so the LATER @1 line {d, e}
+    // is the one the reference keeps (ADVICE r05 #3)
     val filtered = ClusterFormats.readMrmpi(spark, path, minClusterSize = 2,
         rename = true)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(filtered == Set("a" -> "@0", "b" -> "@0"))
+    assert(filtered == Set("a" -> "@0", "b" -> "@0",
+      "d" -> "@1", "e" -> "@1"))
   }
 
   test("S6: pclust block scan — block ordinals, '>' strip, rename, tail block") {
