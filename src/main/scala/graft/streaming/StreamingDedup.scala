@@ -108,14 +108,16 @@ object StreamingDedup {
       maxBucket: Int = 1024, stateTtlMs: Long = 24L * 3600 * 1000)
       : Dataset[CandidatePair] = {
     import spark.implicits._
-    // one hasher instance per task (serialized with the closure, buffers
-    // reused across rows) — same shape as DedupPipeline.signatures
-    val hasher = new MinHasher(params)
-    val bandsUdf = udf((t: String) => hasher.bands(t))
+    // native fused sketch expression (the [[DedupPipeline.signatureKeys]]
+    // path the batch pipeline and [[againstCorpus]] already run): the
+    // per-batch map work stays inside whole-stage codegen instead of a
+    // ScalaUDF + tuple-array conversion per page — byte-identical band
+    // keys (spec: streaming == batch; the fused kernel == UDF spec covers
+    // the kernel itself)
     val bands = pages
       .select(xxhash64(col("url")).as("id"),
-        explode(bandsUdf(DedupPipeline.normalizeAZ(col("text")))).as("bk"))
-      .select(col("id"), col("bk._1").as("band"), col("bk._2").as("key"))
+        posexplode(DedupPipeline.signatureKeys(col("text"), params))
+          .as(Seq("band", "key")))
       .as[BandRow]
 
     // stateTtlMs <= 0 disables timers (unbounded state; tests). With
