@@ -247,12 +247,17 @@ object HashSweep {
       val pairs = caches match {
         case None => kmerPairs
         case Some(cs) =>
-          // kmer pairs are a committed parquet prefix now — both consumers
-          // (the cache delta and the final union) re-scan the pruned read
-          // cheaply; the pre-rewrite localCheckpoint existed because this
-          // used to be an expensive LSH join plan
+          // band-prefix advance (r06): the pair table IS the incorporation
+          // log (canonical distinct pairs under their first-seen band,
+          // marker-committed), so the cache's delta is a pruned
+          // `band in [prev, n)` read and the step is ONE atomic state
+          // commit — the stored-nbrs protocol's canonicalize+distinct
+          // exchange, full anti-join and second commit per trajectory per
+          // step are gone (VERDICT r05 ask #4; before/after legs in
+          // BASELINE.md round 6). advance() remains the general-input API.
           val vb = leg(s".cache_advance_$trajectory")(
-            cs(trajectory).advance(kmerPairs, numBands))
+            cs(trajectory).advanceByBandPrefix(pairTable(), numBands,
+              numBands))
           val (extra, _) = DedupPipeline.candidatePairs(spark, vb,
             Int.MaxValue, saltBlockSize = saltBlockSize,
             saltDetectFraction = saltDetectFraction)

@@ -48,6 +48,7 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
   private val c = params.bandWidth
   private val HKey = "hashes"
   private val NbrsVerKey = "nbrs-version"
+  private val BandsKey = "bands-prefix"
 
   /** Latest committed step: (hash count, incorporated nbrs version) from
     * the state snapshot's manifest — a metadata read, no Spark job.
@@ -60,6 +61,12 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
         val p = catalog.snapshot(stateTable, v).properties
         (p.get(HKey), p.get(NbrsVerKey)) match {
           case (Some(h), Some(nv)) => (h.toInt, nv.toInt)
+          case (Some(_), None) if p.contains(BandsKey) =>
+            throw new IllegalStateException(
+              s"vertex-cache state table '$stateTable' v$v was advanced " +
+              "under the band-prefix protocol; it cannot be advanced with " +
+              "advance() — wipe the cache directory or keep using " +
+              "advanceByBandPrefix()")
           case _ => throw new IllegalStateException(
             s"vertex-cache state table '$stateTable' v$v carries no step " +
             "properties — it was written by an incompatible version; wipe " +
@@ -67,8 +74,19 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
         }
     }
 
-  /** Hash count the cached state was computed with (0 = empty cache). */
-  def storedHashes: Int = committedStep._1
+  /** Hash count the cached state was computed with (0 = empty cache) —
+    * protocol-agnostic (both the stored-nbrs and the band-prefix
+    * protocols record HKey).
+    */
+  def storedHashes: Int = catalog.currentVersion(stateTable) match {
+    case 0 => 0
+    case v => catalog.snapshot(stateTable, v).properties.get(HKey) match {
+      case Some(h) => h.toInt
+      case None => throw new IllegalStateException(
+        s"vertex-cache state table '$stateTable' v$v carries no hash-count " +
+        "property — incompatible version; wipe the cache directory")
+    }
+  }
 
   /** Incorporate `currentPairs` (the FULL current canonical pair set — the
     * cache anti-joins its stored pairs to find the delta itself) at
@@ -104,7 +122,78 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
     val nbrsSnap = catalog.commit(nbrsTable, delta,
       operation = if (prevNbrsVer > 0) "append" else "overwrite")
     val allPairs = catalog.read(nbrsTable, nbrsSnap.version)
+    advanceCore(delta, allPairs, prevH, numHashes, p,
+      Map(HKey -> numHashes.toString,
+        NbrsVerKey -> nbrsSnap.version.toString))
+  }
 
+  /** [[advance]] for callers whose pair set is ITSELF an append-only
+    * band-partitioned log of canonical distinct (a, b) pairs stored under
+    * their first-seen band — the sweep's incremental pair table
+    * ([[HashSweep.appendPairs]]). The step's delta is then a pruned
+    * `band in [prevBands, numBands)` read, so the stored-nbrs machinery
+    * disappears: no canonicalize+distinct exchange of the full pair set,
+    * no anti-join against a stored copy, no second (nbrs) snapshot commit
+    * — ONE atomic state commit per step records both the hash count and
+    * the incorporated band prefix (closing the two-commit crash window
+    * the nbrs protocol needed recovery logic for; VERDICT r05 ask #4).
+    *
+    * Precondition (the pair table's invariant, marker-committed by the
+    * caller): rows are canonical a < b, distinct ACROSS bands, and the
+    * `[0, numBands)` prefix is fully committed before this call.
+    * A cache previously advanced under the stored-nbrs protocol cannot
+    * switch (fails loudly) — the two protocols track incorporation
+    * differently.
+    *
+    * @param pairTable the band-partitioned pair table (None = no pairs yet)
+    */
+  def advanceByBandPrefix(pairTable: Option[DataFrame], numBands: Int,
+      numHashes: Int): DataFrame = {
+    val (prevH, prevBands) = committedBandStep
+    require(numHashes >= prevH,
+      s"hash count must be monotone: cached $prevH, asked $numHashes")
+    require(numBands >= prevBands,
+      s"band prefix must be monotone: cached $prevBands, asked $numBands")
+    val p = params.copy(numHashes = math.max(numHashes, 1))
+    def slice(from: Int, until: Int): DataFrame = pairTable
+      .map(_.where(col("band") >= from && col("band") < until)
+        .select("a", "b"))
+      .getOrElse(spark.range(0)
+        .select(col("id").as("a"), col("id").as("b")))
+    advanceCore(slice(prevBands, numBands), slice(0, numBands),
+      prevH, numHashes, p,
+      Map(HKey -> numHashes.toString, BandsKey -> numBands.toString))
+  }
+
+  /** Latest committed (hash count, incorporated band prefix) for the
+    * band-prefix protocol; (0, 0) = empty cache. Fails loudly on a cache
+    * written by the stored-nbrs protocol (no silent protocol mixing).
+    */
+  private def committedBandStep: (Int, Int) =
+    catalog.currentVersion(stateTable) match {
+      case 0 => (0, 0)
+      case v =>
+        val p = catalog.snapshot(stateTable, v).properties
+        (p.get(HKey), p.get(BandsKey)) match {
+          case (Some(h), Some(nb)) => (h.toInt, nb.toInt)
+          case (Some(_), None) => throw new IllegalStateException(
+            s"vertex-cache state table '$stateTable' v$v was advanced " +
+            "under the stored-nbrs protocol; it cannot be advanced by " +
+            "band prefix — wipe the cache directory or keep using advance()")
+          case _ => throw new IllegalStateException(
+            s"vertex-cache state table '$stateTable' v$v carries no step " +
+            "properties — it was written by an incompatible version; wipe " +
+            "the cache directory and restart the sweep")
+        }
+    }
+
+  /** Shared step core: sketch the delta for the existing hash range,
+    * merge into cached minima, sketch all pairs for the new hash range,
+    * commit ONE state snapshot carrying `props`, emit band rows.
+    */
+  private def advanceCore(delta: DataFrame, allPairs: DataFrame,
+      prevH: Int, numHashes: Int, p: MinHashParams,
+      props: Map[String, String]): DataFrame = {
     // minima over the delta neighbors for the EXISTING hash range [0, prevH)
     val deltaSk =
       if (prevH == 0) spark.emptyDataFrame
@@ -152,8 +241,7 @@ final class VertexSketchCache(spark: SparkSession, catalog: SnapshotCatalog,
 
     val stateSnap = catalog.commit(stateTable,
       state2.withColumn("h", lit(numHashes)).select("u", "h", "n", "mins"),
-      properties = Map(HKey -> numHashes.toString,
-        NbrsVerKey -> nbrsSnap.version.toString))
+      properties = props)
     emitBands(catalog.read(stateTable, stateSnap.version), p, numHashes)
   }
 

@@ -51,6 +51,48 @@ class VertexSketchCacheSpec extends AnyFunSuite with SparkSpec {
     assert(cache.storedHashes == h)
   }
 
+  test("band-prefix advance == from-scratch at every step; protocol mixing " +
+      "fails loudly") {
+    // the HashSweep fast path (r06): the pair log is band-partitioned
+    // canonical distinct pairs under their first-seen band; each step's
+    // delta is a pruned band-range read and the step is ONE state commit
+    val dir = java.nio.file.Files.createTempDirectory("graft-vcacheB").toString
+    val cache = new VertexSketchCache(spark,
+      new SnapshotCatalog(spark, dir), "t", p)
+    val rng = new scala.util.Random(47)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    var bands = 0
+    var h = 2
+    for (step <- 0 until 4) {
+      val nb = 1 + step // growing band increments incl. multi-band catch-up
+      for (b <- bands until bands + nb) {
+        (0 until 12).foreach { _ =>
+          val x = rng.nextLong() % 300
+          val y = rng.nextLong() % 300
+          if (x != y) {
+            val cp = (math.min(x, y), math.max(x, y))
+            if (!seen(cp)) { seen += cp; log += ((cp._1, cp._2, b)) }
+          }
+        }
+      }
+      bands += nb
+      h += step // includes a no-new-hash step
+      val table = log.toSeq.toDF("a", "b", "band")
+      val got = bandsSet(cache.advanceByBandPrefix(Some(table), bands, h))
+      val want = bandsSet(VertexShingling.vertexBandRows(spark,
+        log.toSeq.map(e => (e._1, e._2)).toDF("a", "b"),
+        p.copy(numHashes = h)))
+      assert(got == want, s"step $step (bands=$bands, h=$h) diverged")
+    }
+    assert(cache.storedHashes == h)
+    // a band-prefix cache refuses the stored-nbrs protocol (and vice versa)
+    val e = intercept[IllegalStateException] {
+      cache.advance(log.toSeq.map(t => (t._1, t._2)).toDF("a", "b"), h + 1)
+    }
+    assert(e.getMessage.contains("band-prefix"))
+  }
+
   test("crash between nbrs and state commits: resume ignores orphan nbrs rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vcache3").toString
     val cat = new SnapshotCatalog(spark, dir)
