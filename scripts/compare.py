@@ -83,6 +83,11 @@ def main() -> int:
         # FAILURE, exactly like the driver's strict hash (the silent
         # coercion here let the q44 oracle-typing bug read green for two
         # rounds — VERDICT r05 "What's wrong" #2).
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: column names {list(got.columns)} vs "
+                  f"oracle {list(want.columns)}")
+            failures += 1
+            continue
         dtype_bad = []
         for c in got.columns:
             g, w = got[c].dtype, want[c].dtype

@@ -37,12 +37,35 @@ case class LongDot(left: Expression, right: Expression)
 }
 
 object LongDot {
-  /** Codegen target — must stay public static. */
+  /** Column-level constructor — one definition of the GraftSqlBridge
+    * plumbing for every call site.
+    */
+  def of(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(LongDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
+  /** Codegen target — must stay public static. A null ELEMENT inside
+    * either array raises: the HOF form this replaces null-propagates to a
+    * null dot, and silently reading the slot as 0 would fabricate a
+    * finite similarity — the quantizer never produces null elements, so
+    * hitting one means corrupt input, and fail-loud beats either silent
+    * answer (the canonicalByText collision discipline).
+    */
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0
     var s = 0L
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"long_dot: null array element at index $i — corrupt quantized " +
+          "embedding input")
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     s
   }
 }

@@ -57,6 +57,20 @@ case class PackedSetSize(child: Expression)
 }
 
 object PackedSetOps {
+  /** Column-level constructors — one definition of the GraftSqlBridge
+    * plumbing for every call site.
+    */
+  def intersectionSize(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(PackedIntersectionSize(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+  def setSize(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(PackedSetSize(GraftSqlBridge.expression(a)))
+  }
+
   /** Codegen targets — must stay public static. */
   def inter(x: Array[Byte], y: Array[Byte]): Long =
     Shingler.intersectionSizePacked(x, y).toLong

@@ -20,11 +20,8 @@ object EmbeddingQueries {
     * replaces the interpreted `aggregate(zip_with(...))` HOF pair in every
     * per-pair hot path here (q17/q19/q28 and the nrm column).
     */
-  private def dotOf(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.GraftSqlBridge
-    GraftSqlBridge.column(graft.functions.LongDot(
-      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
-  }
+  private def dotOf(a: Column, b: Column): Column =
+    graft.functions.LongDot.of(a, b)
 
   /** (vec_id, q) — quantized embeddings, plus nrm = <q,q>. The source is a
     * single parquet file (1-2 input splits); the brute-force cross join is

@@ -114,32 +114,23 @@ object MinHashDocQueries {
     // so packing (~2-3 B/shingle vs 8) cuts that row traffic ~3-4x, and
     // the per-pair intersection is a static-call expression inside
     // whole-stage codegen instead of a ScalaUDF with two array conversions
-    // (r06: 202k pairs at sf0.1; measured 4.4 -> ~2.9 s)
-    import org.apache.spark.sql.GraftSqlBridge
-    def nat(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-      GraftSqlBridge.column(e)
-    def ex(c: org.apache.spark.sql.Column) = GraftSqlBridge.expression(c)
+    // (r06: 202k pairs at sf0.1; measured 4.4 -> ~2.9 s). The pre-sort
+    // exchange ([[Ops.sortedOutput]]) keeps the range sort's sampling from
+    // re-running both set joins (measured +1.6 s without it).
+    import graft.functions.PackedSetOps
     val setOf = udf((t: String) => Shingler.packSet(Shingler.shingleSet(t, k)))
     val sets = normalizedDocs(spark, dir)
       .select(col("doc_id"), setOf(col("t")).as("sh"))
-    pairs
+    Ops.sortedOutput(pairs
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        nat(graft.functions.PackedIntersectionSize(
-          ex(col("sha")), ex(col("shb")))).as("inter_size"),
-        (nat(graft.functions.PackedSetSize(ex(col("sha"))))
-          + nat(graft.functions.PackedSetSize(ex(col("shb"))))).as("apb"))
+        PackedSetOps.intersectionSize(col("sha"), col("shb")).as("inter_size"),
+        (PackedSetOps.setSize(col("sha"))
+          + PackedSetOps.setSize(col("shb"))).as("apb"))
       .select(col("id_a"), col("id_b"), col("inter_size"),
-        (col("apb") - col("inter_size")).as("union_size"))
-      // materialize the (tiny, 32-byte-row) accounting rows in an exchange
-      // BEFORE the output orderBy: a range sort samples its child first,
-      // and without this boundary the sample pass re-ran both set joins
-      // and every merge-count a second time (measured: the orderBy added
-      // +1.6 s on a 2.4 s plan at sf0.1). The sort's sampling now reads
-      // shuffled 4-column rows instead of recomputing the verify work.
-      .repartition(col("id_a"))
-      .orderBy("id_a", "id_b")
+        (col("apb") - col("inter_size")).as("union_size")),
+      "id_a", "id_b")
   }
 
   /** (cluster_id, n) for clusters with >= 2 members — the reference's

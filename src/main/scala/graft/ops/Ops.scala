@@ -80,11 +80,31 @@ object Ops {
     * reproduce the same row placement (guide §2.5).
     */
   def spreadSmallScan(df: DataFrame, key: String): DataFrame = {
+    // gate only LEAF plans (a parquet scan / local relation): probing the
+    // split count via .rdd compiles the physical plan, and on a plan that
+    // already contains an exchange AQE's .rdd materializes those shuffle
+    // stages EAGERLY at DataFrame-construction time — jobs running before
+    // the query is submitted. Every production call site passes a bare
+    // table scan; a derived frame passes through unchanged.
+    if (!df.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode])
+      return df
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= cores) df
     else df.repartition(cores, col(key))
   }
+
+  /** Narrow-row exchange + total-order output sort — the shared tail of
+    * the scalar gate queries: a range sort SAMPLES its child, and with no
+    * exchange boundary below the sort the sample pass re-runs the query's
+    * whole map work (measured +1.6 s on q05's 2.4 s plan; at 100 TB the
+    * re-run segment is a full corpus re-scan). Exchanging the few-column
+    * output rows first bounds the resample to reading shuffled rows at
+    * every scale.
+    */
+  def sortedOutput(df: DataFrame, keys: String*): DataFrame =
+    df.repartition(col(keys.head)).orderBy(keys.map(col): _*)
 
   /** Exact-duplicate canonicalization with 8-byte exchange keys: group on
     * xxhash64(text) — never on the text string itself; full document

@@ -54,8 +54,10 @@ object TextQueries {
   private def normText: Column =
     regexp_replace(upper(col("text")), "[^A-Z]", "")
 
-  /** (doc_id, simhash) for docs with at least one 4-gram. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Unsorted (doc_id, simhash) rows — the shared core of q10/q11 (no
+    * mid-plan output sort: q11's window re-partitions by simhash anyway).
+    */
+  private def simhashRows(spark: SparkSession, dir: String): DataFrame = {
     val f = udf((t: String) => simhashOf(t))
     // split-gated spread: the SimHash kernel is the query's whole CPU and
     // must not run at a 1-2-split gate scan's parallelism
@@ -63,23 +65,21 @@ object TextQueries {
       .select(col("doc_id"), normText.as("t"))
       .where(length(col("t")) >= SimGram)
       .select(col("doc_id"), f(col("t")).as("simhash"))
-      // narrow-row exchange before the output sort: the range sort samples
-      // its child, and with no exchange boundary below it the sample pass
-      // re-runs the query's whole map work (see OPTIMIZATION_r06.md,
-      // "pre-sort materialization"); shuffling the few-column output rows
-      // instead is cheap at every scale
-      .repartition(col("doc_id"))
-      .orderBy("doc_id")
   }
+
+  /** (doc_id, simhash) for docs with at least one 4-gram. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Ops.sortedOutput(simhashRows(spark, dir), "doc_id")
 
   /** (doc_id, canonical_id) — SimHash-exact dedup (min id per fingerprint). */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
     // ONE simhash-keyed exchange (whole-partition window min) instead of
     // aggregate + join-back — the canonicalByText discipline (VERDICT r05
-    // ask #2) applied to the SimHash dedup
-    val s = simhash(spark, dir)
+    // ask #2) applied to the SimHash dedup; built on the UNSORTED rows so
+    // the plan carries no mid-plan range sort for the window to destroy
     val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
-    s.withColumn("canonical_id", min(col("doc_id")).over(w))
+    simhashRows(spark, dir)
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
       .select("doc_id", "canonical_id").orderBy("doc_id")
   }
 
@@ -150,13 +150,7 @@ FROM sim ORDER BY doc_id"""
         (size(col("ga")) + size(col("gb"))
           - size(array_intersect(col("ga"), col("gb")))).cast("long")
           .as("union_size"))
-      // narrow-row exchange before the output sort: the range sort samples
-      // its child, and with no exchange boundary below it the sample pass
-      // re-runs the query's whole map work (see OPTIMIZATION_r06.md,
-      // "pre-sort materialization"); shuffling the few-column output rows
-      // instead is cheap at every scale
-      .repartition(col("id_a"))
-      .orderBy("id_a")
+      .transform(Ops.sortedOutput(_, "id_a"))
   }
 
   val ngramJaccardSql: String = """
@@ -201,13 +195,7 @@ ORDER BY p.id_a"""
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
           .cast("long").as("n_bpe_tokens"))
-      // narrow-row exchange before the output sort: the range sort samples
-      // its child, and with no exchange boundary below it the sample pass
-      // re-runs the query's whole map work (see OPTIMIZATION_r06.md,
-      // "pre-sort materialization"); shuffling the few-column output rows
-      // instead is cheap at every scale
-      .repartition(col("doc_id"))
-      .orderBy("doc_id")
+      .transform(Ops.sortedOutput(_, "doc_id"))
 
   val tokenCountSql: String = s"""
 SELECT doc_id,
@@ -233,13 +221,7 @@ FROM documents ORDER BY doc_id"""
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => array_contains(stop, t))).cast("long")
           .as("n_stopwords"))
-      // narrow-row exchange before the output sort: the range sort samples
-      // its child, and with no exchange boundary below it the sample pass
-      // re-runs the query's whole map work (see OPTIMIZATION_r06.md,
-      // "pre-sort materialization"); shuffling the few-column output rows
-      // instead is cheap at every scale
-      .repartition(col("doc_id"))
-      .orderBy("doc_id")
+      .transform(Ops.sortedOutput(_, "doc_id"))
   }
 
   val qualitySql: String = s"""
@@ -273,13 +255,7 @@ FROM documents ORDER BY doc_id"""
           .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
           .when(col("c_fr") >= col("c_es"), "fr")
           .otherwise("es"))
-      // narrow-row exchange before the output sort: the range sort samples
-      // its child, and with no exchange boundary below it the sample pass
-      // re-runs the query's whole map work (see OPTIMIZATION_r06.md,
-      // "pre-sort materialization"); shuffling the few-column output rows
-      // instead is cheap at every scale
-      .repartition(col("doc_id"))
-      .orderBy("doc_id")
+      .transform(Ops.sortedOutput(_, "doc_id"))
   }
 
   val langIdSql: String = {
@@ -315,13 +291,7 @@ FROM c ORDER BY doc_id"""
     // split-gated spread: the per-char HOF fold is the query's whole CPU
     Ops.spreadSmallScan(Ops.table(spark, dir, "documents"), "doc_id")
       .select(col("doc_id"), fp.as("fp"))
-      // narrow-row exchange before the output sort: the range sort samples
-      // its child, and with no exchange boundary below it the sample pass
-      // re-runs the query's whole map work (see OPTIMIZATION_r06.md,
-      // "pre-sort materialization"); shuffling the few-column output rows
-      // instead is cheap at every scale
-      .repartition(col("doc_id"))
-      .orderBy("doc_id")
+      .transform(Ops.sortedOutput(_, "doc_id"))
   }
 
   val fingerprintSql: String = """
@@ -475,13 +445,7 @@ FROM langd GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
       .select(col("doc_id"), statsOf(col("ts")).as("s"))
       .select(col("doc_id"), col("s._1").as("n_bigrams"),
         col("s._2").as("n_distinct_bigrams"), col("s._3").as("max_bigram_count"))
-      // narrow-row exchange before the output sort: the range sort samples
-      // its child, and with no exchange boundary below it the sample pass
-      // re-runs the query's whole map work (see OPTIMIZATION_r06.md,
-      // "pre-sort materialization"); shuffling the few-column output rows
-      // instead is cheap at every scale
-      .repartition(col("doc_id"))
-      .orderBy("doc_id")
+      .transform(Ops.sortedOutput(_, "doc_id"))
   }
 
   val repetitionSql: String = """

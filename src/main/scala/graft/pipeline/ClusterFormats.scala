@@ -41,29 +41,36 @@ object ClusterFormats {
       element_at(col("t"), 1) === "KMV" &&
       element_at(col("t"), 2) === "pair:" &&
       element_at(col("t"), 12) === "values"
-    val parsed = lines.select(
-      when(isKmv, lab.substr(lit(1), length(lab) - 1))
-        .otherwise(raise_error(concat(
-          lit("malformed MRMPI cluster line: "), col("line")))).as("label"),
-      slice(col("t"), lit(13), greatest(size(col("t")) - 12, lit(0))).as("ms"),
-      col("lineno"))
     // the reference applies min_cluster_limit BEFORE the labels_set
     // dedup (fvalue_evaluator.cpp:855-866: `if (cluster_size >=
     // min_cluster_limit) { if (labels_set.find(...) ...`), so a duplicate
     // label whose FIRST line is undersized keeps a later passing line —
     // filter each line by its DISTINCT (post-rename) member count first,
     // then keep the first surviving line per label (ADVICE r05 #3).
-    // The malformation raise lives INSIDE the filter's else-branch: a
-    // plain size predicate would silently drop short corrupted lines
-    // before the label column's raise_error ever evaluated (spec-caught).
+    // The malformation raise is the data-dependent ELSE branch of the
+    // filter itself (a plain size predicate would silently drop short
+    // corrupted lines before any label raise evaluated — spec-caught; and
+    // it must not hinge on the optimizer declining to simplify a
+    // tautological guard).
+    val msCol = slice(col("t"), lit(13), greatest(size(col("t")) - 12, lit(0)))
     val lineMembers =
-      if (rename) array_distinct(transform(col("ms"),
+      if (rename) array_distinct(transform(msCol,
         m => GroundTruth.stripDomainSuffix(m)))
-      else array_distinct(col("ms"))
-    val passing = parsed.where(
-      when(length(col("label")) >= 0, size(lineMembers) >= minClusterSize))
-    val first = passing.groupBy("label").agg(min("lineno").as("lineno"))
-    val kept = passing.join(first, Seq("label", "lineno"))
+      else array_distinct(msCol)
+    val passing = lines
+      .where(when(isKmv, size(lineMembers) >= minClusterSize)
+        .otherwise(raise_error(concat(
+          lit("malformed MRMPI cluster line: "), col("line"))).cast("boolean")))
+    val parsed = passing.select(
+      // post-filter every row is KMV-shaped; the raise stays as defense in
+      // depth should the projection ever run unfiltered
+      when(isKmv, lab.substr(lit(1), length(lab) - 1))
+        .otherwise(raise_error(concat(
+          lit("malformed MRMPI cluster line: "), col("line")))).as("label"),
+      msCol.as("ms"),
+      col("lineno"))
+    val first = parsed.groupBy("label").agg(min("lineno").as("lineno"))
+    val kept = parsed.join(first, Seq("label", "lineno"))
     val exploded = kept.select(col("label"), explode(col("ms")).as("member"))
     val members =
       (if (rename)

@@ -238,9 +238,13 @@ object HashSweep {
     }
 
     def clusterWith(numBands: Int, trajectory: String): DataFrame = {
+      // ONE pair-table read per call (file listing + schema resolution are
+      // per-read driver work on a directory whose file count grows with
+      // every appended band); both consumers slice the same frame
+      val table = pairTable()
       // prefix of the incrementally-maintained distinct pair table — the
       // full band-row re-join this replaced is the appendPairs increment
-      val kmerPairs = pairTable()
+      val kmerPairs = table
         .map(_.where(col("band") < numBands).select("a", "b"))
         .getOrElse(spark.range(0)
           .select(col("id").as("a"), col("id").as("b")))
@@ -256,8 +260,7 @@ object HashSweep {
           // step are gone (VERDICT r05 ask #4; before/after legs in
           // BASELINE.md round 6). advance() remains the general-input API.
           val vb = leg(s".cache_advance_$trajectory")(
-            cs(trajectory).advanceByBandPrefix(pairTable(), numBands,
-              numBands))
+            cs(trajectory).advanceByBandPrefix(table, numBands, numBands))
           val (extra, _) = DedupPipeline.candidatePairs(spark, vb,
             Int.MaxValue, saltBlockSize = saltBlockSize,
             saltDetectFraction = saltDetectFraction)

@@ -20,9 +20,7 @@ object ProfQ2 {
       println(f"[profq2] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val k = Ops.KmerLen
-    import org.apache.spark.sql.GraftSqlBridge
-    def nat(e: org.apache.spark.sql.catalyst.expressions.Expression) = GraftSqlBridge.column(e)
-    def ex(c: org.apache.spark.sql.Column) = GraftSqlBridge.expression(c)
+    import graft.functions.PackedSetOps
     val bandRows = DedupPipeline.signatures(spark,
       M.normalizedDocs(spark, dir).select(col("doc_id").as("id"), col("t").as("text")), M.params)
     val pairs = DedupPipeline.candidatePairs(spark, bandRows, Int.MaxValue)._1
@@ -33,9 +31,9 @@ object ProfQ2 {
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        nat(graft.functions.PackedIntersectionSize(ex(col("sha")), ex(col("shb")))).as("inter_size"),
-        (nat(graft.functions.PackedSetSize(ex(col("sha"))))
-          + nat(graft.functions.PackedSetSize(ex(col("shb"))))).as("apb"))
+        PackedSetOps.intersectionSize(col("sha"), col("shb")).as("inter_size"),
+        (PackedSetOps.setSize(col("sha"))
+          + PackedSetOps.setSize(col("shb"))).as("apb"))
       .select(col("id_a"), col("id_b"), col("inter_size"),
         (col("apb") - col("inter_size")).as("union_size"))
     t("q05 joins only (no sort)")(noop(joined))
