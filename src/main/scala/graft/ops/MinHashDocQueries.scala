@@ -237,11 +237,17 @@ object MinHashDocQueries {
     * the reference feeds to external community detection.
     */
   def noccClusters(spark: SparkSession, dir: String): DataFrame = {
+    // eager localCheckpoint (the ConnectedComponents input idiom): the
+    // pair set feeds FOUR plan positions inside nocc (both union
+    // directions x both the set-dedup and semi-join sides) — materialize
+    // once instead of relying on AQE stage reuse across all of them.
+    // Per-invocation RDD, so nothing is shared across bench runs.
     val (pairs, _) =
       DedupPipeline.candidatePairs(spark, bandRows(spark, dir), Int.MaxValue)
+    val cp = pairs.localCheckpoint(true)
     val nodes = Ops.table(spark, dir, "documents")
       .select(col("doc_id").as("id"))
-    nocc(spark, pairs, nodes)
+    nocc(spark, cp, nodes)
       .select(col("label").as("cluster_id"), col("member").as("doc_id"))
       .orderBy("cluster_id", "doc_id")
   }
